@@ -1,0 +1,215 @@
+"""The flagship model: a generic-alphabet Aho–Corasick machine.
+
+Public object-API equivalent of the reference's 12 exported symbols
+(aho_corasick.h:45-98; see also the thin functional shim in ``api.py``):
+
+==============================  ==========================================
+reference (aho_corasick.h)      here
+==============================  ==========================================
+acm_create                      Machine(...)
+acm_initiate                    Machine.initiate()
+acm_insert_letter_of_keyword    Machine.insert_letter_of_keyword(cur, sign)
+acm_insert_end_of_keyword       Machine.insert_end_of_keyword(cur, value)
+acm_match                       Machine.match(cur, sign)
+acm_matcher_init                Match (plain value object; no init needed)
+acm_get_match                   Machine.get_match(cur, index)
+acm_matcher_release             (garbage collected)
+acm_nb_keywords                 Machine.nb_keywords()
+acm_foreach_keyword             Machine.foreach_keyword(fn)
+acm_print                       Machine.print(stream, printer)
+acm_release                     (garbage collected)
+==============================  ==========================================
+
+Beyond parity, the machine exposes the TPU path: ``compile()`` emits an
+immutable dense-table snapshot (``DenseTables``) that the scanners in
+``models/scanner.py`` upload and scan on device. Snapshots are versioned:
+keywords inserted after a ``compile()`` are visible to the *next* snapshot
+only — the TPU consistency model for the reference's insert-during-scan
+feature (README.md:352-356; see SURVEY.md §7 "Insert-during-scan semantics").
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Any, Callable, IO, List, Optional
+
+from ..core.builder import Builder, DenseTables, ROOT
+from ..utils.vocab import Vocab
+
+
+@dataclass
+class Match:
+    """A retrieved match (reference MatchHolder, aho_corasick.h:23-28)."""
+
+    letters: List[Any]   # signs of the matched keyword, in order
+    value: Any = None    # user value associated at insert_end time
+    rank: int = -1       # unique keyword rank (insertion order)
+
+    @property
+    def length(self) -> int:
+        return len(self.letters)
+
+    def text(self) -> str:
+        """Convenience for string alphabets."""
+        return "".join(str(s) for s in self.letters)
+
+
+class Cursor:
+    """Opaque streaming cursor (reference ACState*, advanced in place)."""
+
+    __slots__ = ("machine", "state")
+
+    def __init__(self, machine: "Machine", state: int = ROOT):
+        self.machine = machine
+        self.state = state
+
+
+class Machine:
+    """Generic-alphabet multi-pattern matcher.
+
+    Parameters
+    ----------
+    key_fn:
+        Maps a sign to a hashable, orderable key; two signs are the same
+        letter iff keys are equal. Plays the role of the reference's
+        ``cmp``/``cmp_arg`` (h:33-38). Default: identity.
+    incremental:
+        True → Meyer-1985 incremental fail maintenance (reference default);
+        False → AC75 lazy BFS reconstruction (reference ``-DNMEYER_85``).
+    """
+
+    def __init__(self, key_fn: Optional[Callable[[Any], Any]] = None,
+                 incremental: bool = True, backend: str = "auto"):
+        self.vocab = Vocab(key_fn)
+        self._b = _make_backend(backend, incremental)
+        self.incremental = incremental
+        self._values: dict[int, Any] = {}   # end-state -> user value
+        self._frozen_tables: Optional[DenseTables] = None
+
+    # -- lifecycle / cursors ----------------------------------------------
+
+    def initiate(self) -> Cursor:
+        """ref acm_initiate (c:161-165)."""
+        return Cursor(self, ROOT)
+
+    # -- insertion ---------------------------------------------------------
+
+    def insert_letter_of_keyword(self, cursor: Cursor, sign: Any) -> None:
+        """ref acm_insert_letter_of_keyword (c:291-316)."""
+        letter = self.vocab.register(sign)
+        cursor.state = self._b.insert_letter(cursor.state, letter)
+
+    def insert_end_of_keyword(self, cursor: Cursor, value: Any = None) -> Any:
+        """ref acm_insert_end_of_keyword (c:340-363).
+
+        Returns the previously-associated value if the keyword already had
+        one (the caller may merge, README.md:182-189), else None. The value
+        is adopted only when the state holds none (first-writer-wins,
+        c:357-359). Resets the cursor to the root (c:360).
+        """
+        state = cursor.state
+        self._b.insert_end(state)
+        prev = self._values.get(state)
+        if prev is None and value is not None:
+            self._values[state] = value
+        cursor.state = ROOT
+        return prev
+
+    def insert_keyword(self, signs, value: Any = None) -> Any:
+        """Convenience: insert a whole keyword (sequence of signs)."""
+        cur = self.initiate()
+        n = 0
+        for s in signs:
+            self.insert_letter_of_keyword(cur, s)
+            n += 1
+        if n == 0:
+            raise ValueError("empty keyword (ref c:345)")
+        return self.insert_end_of_keyword(cur, value)
+
+    # -- streaming match (host path) ---------------------------------------
+
+    def match(self, cursor: Cursor, sign: Any) -> int:
+        """One streaming match step; returns the number of keywords ending at
+        this symbol (ref acm_match c:433-448)."""
+        letter = self.vocab.lookup(sign)
+        cursor.state, nb = self._b.match(cursor.state, letter)
+        return nb
+
+    def get_match(self, cursor: Cursor, index: int) -> Match:
+        """index-th match at the current cursor position, index 0 = longest
+        (ref acm_get_match c:450-482)."""
+        end = self._b.get_match_state(cursor.state, index)
+        return self.match_for_state(end)
+
+    def match_for_state(self, end_state: int) -> Match:
+        """Materialize the keyword ending at ``end_state`` (backward
+        reconstruction via previous links, ref c:471-480)."""
+        letters = self.vocab.signs(self._b.keyword_letters(end_state))
+        return Match(letters=letters, value=self._values.get(end_state),
+                     rank=self._b.kw_rank[end_state])
+
+    # -- introspection ------------------------------------------------------
+
+    def nb_keywords(self) -> int:
+        """ref acm_nb_keywords (c:484-488)."""
+        return self._b.nb_sequences
+
+    def foreach_keyword(self, fn: Callable[[Match], None]) -> None:
+        """DFS enumeration in comparator(key) order
+        (ref acm_foreach_keyword c:521-531)."""
+        for end, letter_ids in self._b.iter_keywords(self.vocab.sort_key):
+            fn(Match(letters=self.vocab.signs(letter_ids),
+                     value=self._values.get(end),
+                     rank=self._b.kw_rank[end]))
+
+    def keywords(self) -> List[Match]:
+        out: List[Match] = []
+        self.foreach_keyword(out.append)
+        return out
+
+    def print(self, stream: Optional[IO[str]] = None,
+              printer: Optional[Callable[[Any], str]] = None) -> None:
+        """ASCII trie dump (ref acm_print c:583-594); format parity with the
+        reference, see utils/dump.py."""
+        from ..utils.dump import print_machine
+        print_machine(self, stream or sys.stdout, printer)
+
+    @property
+    def n_states(self) -> int:
+        return self._b.n_states
+
+    @property
+    def version(self) -> int:
+        return self._b.version
+
+    def value_of_state(self, state: int) -> Any:
+        return self._values.get(state)
+
+    # -- TPU path -----------------------------------------------------------
+
+    def compile(self) -> DenseTables:
+        """Emit an immutable dense-table snapshot of the current dictionary.
+
+        This is the host→device boundary: the whole goto/fail machinery
+        (reference call stack §3.2 of SURVEY.md) is collapsed into a single
+        total transition table; scanning becomes a gather recurrence.
+        """
+        return self._b.emit_tables(vocab_size=self.vocab.size)
+
+    def scanner(self, **kwargs):
+        """Build a device scanner over the current snapshot
+        (models/scanner.py)."""
+        from .scanner import DenseScanner
+        return DenseScanner(self, **kwargs)
+
+
+def _make_backend(backend: str, incremental: bool):
+    if backend in ("auto", "native"):
+        try:
+            from ..core.native import NativeBuilder
+            return NativeBuilder(incremental)
+        except Exception:
+            if backend == "native":
+                raise
+    return Builder(incremental)

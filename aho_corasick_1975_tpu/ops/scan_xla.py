@@ -1,0 +1,121 @@
+"""XLA scan kernels: the automaton recurrence as gather chains.
+
+The reference's per-symbol hot loop (state_goto, aho_corasick.c:167-192 —
+ordered-map lookup + fail-chain walk) collapses here into a single gather per
+symbol from the fail-collapsed dense table built by ``core/builder.py``:
+
+    s' = delta[s, c]     (delta total: OOV and undefined transitions resolved)
+
+Two layouts:
+
+* ``sequential_*`` — one stream, one state: the literal recurrence. Simple,
+  correct, but serial: it is the conformance oracle, not the fast path.
+* ``blocked_*`` — B independent streams advanced in lockstep (time-major
+  [L, B] input): each scan step gathers B transitions at once, turning the
+  scalar chase into vector work for the VPU. Combined with halo overlap
+  (``ops/blocking.py``) this parallelizes a single long stream on one chip,
+  and is the per-device kernel of the sharded path (``parallel/``).
+
+All functions close over the vocab width V and take the flattened table
+``dflat = delta.reshape(-1)`` so the per-step index is one fused multiply-add.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@lru_cache(maxsize=None)
+def make_sequential_scan(V: int):
+    """Returns scan(dflat, ids, s0) -> (final_state, states[T]).
+
+    states[t] is the automaton state *after* consuming ids[t] — the cursor
+    the reference exposes after each acm_match call (c:447)."""
+
+    @jax.jit
+    def scan(dflat, ids, s0):
+        def step(s, c):
+            s2 = dflat[s * V + c]
+            return s2, s2
+
+        return lax.scan(step, s0, ids)
+
+    return scan
+
+
+@lru_cache(maxsize=None)
+def make_sequential_count(V: int):
+    """Returns count(dflat, nb_out, ids, s0) -> (final_state, total_matches).
+
+    Fully fused: no [T] state materialization; the per-step output-count
+    gather plays the role of the reference's ``nb_outputs`` read (c:447)."""
+
+    @jax.jit
+    def count(dflat, nb_out, ids, s0):
+        def step(carry, c):
+            s, tot = carry
+            s2 = dflat[s * V + c]
+            return (s2, tot + nb_out[s2]), None
+
+        (sT, total), _ = lax.scan(step, (s0, jnp.int64(0) if
+                                         jax.config.jax_enable_x64 else
+                                         jnp.int32(0)), ids)
+        return sT, total
+
+    return count
+
+
+@lru_cache(maxsize=None)
+def make_blocked_scan(V: int):
+    """Returns scan(dflat, ids_tm) -> states_tm.
+
+    ids_tm: int32 [L, B] time-major block matrix (B streams, L steps each).
+    All streams start at the root; halo semantics are the caller's concern
+    (``ops/blocking.py`` proves root-start + halo re-run converges to the
+    true state — the AC state is determined by the last max_depth symbols).
+    """
+
+    @jax.jit
+    def scan(dflat, ids_tm):
+        B = ids_tm.shape[1]
+        s0 = jnp.zeros((B,), dtype=jnp.int32)
+
+        def step(s, c):
+            s2 = dflat[s * V + c]
+            return s2, s2
+
+        _, states = lax.scan(step, s0, ids_tm)
+        return states
+
+    return scan
+
+
+@lru_cache(maxsize=None)
+def make_blocked_count(V: int, halo: int):
+    """Returns count(dflat, nb_out, ids_tm) -> total matches (int32).
+
+    Positions t < halo of every stream are warm-up re-runs of the previous
+    block's suffix and are excluded from the count."""
+
+    @jax.jit
+    def count(dflat, nb_out, ids_tm):
+        L, B = ids_tm.shape
+        s0 = jnp.zeros((B,), dtype=jnp.int32)
+        zero = jnp.zeros((B,), dtype=jnp.int32)
+
+        def step(carry, tc):
+            t, c = tc
+            s, tot = carry
+            s2 = dflat[s * V + c]
+            cnt = jnp.where(t >= halo, nb_out[s2], 0)
+            return (s2, tot + cnt), None
+
+        ts = jnp.arange(L, dtype=jnp.int32)
+        (_, tot), _ = lax.scan(step, (s0, zero), (ts, ids_tm))
+        return jnp.sum(tot)
+
+    return count

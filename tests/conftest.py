@@ -1,0 +1,19 @@
+"""Test rig: force a CPU backend with 8 virtual devices so multi-chip
+sharding tests (parallel/) run without a pod — the fake-mesh strategy the
+reference never needed (SURVEY.md §4, last bullet).
+
+Note: this environment's sitecustomize force-registers the axon TPU plugin
+and overrides the JAX_PLATFORMS env var, so the env var alone is NOT enough;
+``jax.config.update`` after import is, provided it runs before any backend
+initialization — hence at conftest import time.
+"""
+
+import os
+
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
