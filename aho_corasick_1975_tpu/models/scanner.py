@@ -32,7 +32,10 @@ def _next_pow2(n: int) -> int:
 
 class DenseScanner:
     def __init__(self, machine, n_streams: int = 512,
-                 halo: Optional[int] = None, tables: Optional[DenseTables] = None):
+                 halo: Optional[int] = None,
+                 tables: Optional[DenseTables] = None,
+                 step_k: "int | str" = "auto",
+                 step_budget_bytes: int = 512 * 1024 * 1024):
         self.machine = machine
         self.tables: DenseTables = tables if tables is not None else machine.compile()
         self.n_streams = int(n_streams)
@@ -44,6 +47,29 @@ class DenseScanner:
         self._blocked_scan = make_blocked_scan(self.V)
         self._blocked_count = make_blocked_count(self.V, self.halo)
         self._seq_scan = make_sequential_scan(self.V)
+        # k-char stepped count path (ops/multistep.py): one gather per k
+        # symbols — the gather-rate lever that dominates TPU throughput.
+        from ..ops import multistep as ms
+        if step_k == "auto":
+            self.step_k = ms.choose_k(self.tables.n_states, self.V,
+                                      step_budget_bytes)
+        else:
+            self.step_k = max(1, int(step_k))
+        self._stepped = None
+        if self.step_k > 1:
+            st = ms.build_stepped(self.tables, self.step_k)
+            self._stepped = st
+            self._halo_steps = -(-self.halo // st.k)
+            self._halo_sym = self._halo_steps * st.k
+            if st.packed is not None:
+                self._st_dev = (jnp.asarray(st.packed),)
+                self._stepped_count = ms.make_stepped_count(
+                    st.V, st.k, st.Vk, st.count_bits, self._halo_steps)
+            else:
+                self._st_dev = (jnp.asarray(st.delta_k),
+                                jnp.asarray(st.cnt_k))
+                self._stepped_count = ms.make_stepped_count_unpacked(
+                    st.V, st.k, st.Vk, self._halo_steps)
 
     @property
     def version(self) -> int:
@@ -63,7 +89,10 @@ class DenseScanner:
     def _layout(self, ids: np.ndarray) -> Tuple[np.ndarray, int, int]:
         T = len(ids)
         B = self.n_streams
-        L = _next_pow2(max(-(-T // B), 32))  # pow2 bucket limits recompiles
+        # Round the per-stream length to a small bucket: bounds padding waste
+        # to <128*B symbols while keeping the number of distinct compiled
+        # shapes low for steadily-sized inputs.
+        L = max(32, -(-(-(-T // B)) // 128) * 128)
         blocks_tm, nb = blocking.block_time_major(ids, L, self.halo)
         return blocks_tm, nb, T
 
@@ -82,13 +111,28 @@ class DenseScanner:
 
     def count(self, signs) -> int:
         """Total number of keyword occurrences in the stream (fused count,
-        nothing materialized per position)."""
+        nothing materialized per position; k-char stepped when enabled)."""
         ids = self.encode(signs)
         if len(ids) == 0:
             return 0
+        if self._stepped is not None:
+            blocks_tm = self._layout_stepped(ids)
+            return int(self._stepped_count(*self._st_dev,
+                                           jnp.asarray(blocks_tm)))
         blocks_tm, _, _ = self._layout(ids)
         return int(self._blocked_count(self._dflat, self._nb_out,
                                        jnp.asarray(blocks_tm)))
+
+    def _layout_stepped(self, ids: np.ndarray) -> np.ndarray:
+        """Block layout for the k-stepped path: halo and block length both
+        multiples of k so gram boundaries align."""
+        k = self._stepped.k
+        T = len(ids)
+        B = self.n_streams
+        unit = 128 * k
+        L = max(unit, -(-(-(-T // B)) // unit) * unit)
+        blocks_tm, _ = blocking.block_time_major(ids, L, self._halo_sym)
+        return blocks_tm
 
     def find_matches(self, signs, offset: int = 0) -> List[Tuple[MatchEvent, Any]]:
         """All (event, Match) occurrences, ordered by end position; within a

@@ -1,0 +1,154 @@
+"""k-char stepped scan tables: one gather advances k symbols.
+
+Honest profiling on TPU v5e (see BENCHMARKS.md) shows the scan is bound by
+XLA's dynamic-gather rate (~0.1-0.2 G gathers/s regardless of width), not by
+HBM bandwidth or the scan loop. The throughput lever is therefore *gathers
+per byte*:
+
+1. pack (next_state, match_count) into a single int32 word — halves gathers
+   vs separate delta/nb_outputs lookups;
+2. precompose the transition table over k-grams:
+       delta_k[s, (c_1..c_k)] = delta[...delta[s, c_1]..., c_k]
+       cnt_k[s, (c_1..c_k)]   = sum_j nb_out(state after c_j)
+   so one gather advances k symbols and accounts *all* intermediate match
+   counts (the count at every position is preserved exactly — nothing is
+   skipped, matching acm_match's per-symbol totals, ref c:433-448).
+
+Table size is S * V^k words; k is chosen automatically as the largest value
+fitting a memory budget. The count path uses these; the per-position *states*
+path (needed for match decoding) stays 1-char.
+
+Packing layout: value = (next_state << count_bits) | step_count, with
+count_bits sized from the actual maximum k-gram count at build time. If
+state_bits + count_bits exceed 31, falls back to two unpacked int32 tables
+(2 gathers per k symbols) — int64 packing would require global x64 mode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.builder import DenseTables
+
+
+@dataclass
+class SteppedTables:
+    k: int                      # symbols per gather
+    V: int                      # base vocab size
+    count_bits: int             # 0 when unpacked
+    packed: Optional[np.ndarray]        # int32 [S * V^k] or None
+    delta_k: Optional[np.ndarray]       # int32 [S * V^k] when unpacked
+    cnt_k: Optional[np.ndarray]         # int32 [S * V^k] when unpacked
+
+    @property
+    def Vk(self) -> int:
+        return self.V ** self.k
+
+
+def choose_k(n_states: int, vocab_size: int, budget_bytes: int,
+             max_k: int = 4) -> int:
+    """Largest k with S * V^k * 4 (or 8 unpacked) within budget."""
+    k = 1
+    for cand in range(2, max_k + 1):
+        if n_states * (vocab_size ** cand) * 4 <= budget_bytes:
+            k = cand
+    return k
+
+
+def build_stepped(tables: DenseTables, k: int) -> SteppedTables:
+    """Compose delta/nb_outputs over k-grams and pack."""
+    delta = tables.delta                     # [S, V]
+    nb = tables.nb_outputs
+    S, V = delta.shape
+    d = delta                                # [S, G]
+    cnt = nb[delta].astype(np.int64)         # counts accumulated per gram
+    for _ in range(k - 1):
+        d2 = delta[d]                        # [S, G, V]
+        cnt = (cnt[..., None] + nb[d2]).reshape(S, -1)
+        d = d2.reshape(S, -1)
+    max_cnt = int(cnt.max()) if cnt.size else 0
+    count_bits = max(1, int(max_cnt).bit_length()) if max_cnt else 1
+    state_bits = max(1, int(S - 1).bit_length())
+    if state_bits + count_bits <= 31:
+        packed = ((d.astype(np.int64) << count_bits) | cnt).astype(np.int32)
+        return SteppedTables(k=k, V=V, count_bits=count_bits,
+                             packed=packed.reshape(-1), delta_k=None,
+                             cnt_k=None)
+    return SteppedTables(k=k, V=V, count_bits=0, packed=None,
+                         delta_k=d.reshape(-1).astype(np.int32),
+                         cnt_k=cnt.reshape(-1).astype(np.int32))
+
+
+def combine_grams(ids_tm, V: int, k: int):
+    """[L, B] symbol ids -> [L/k, B] k-gram ids (L % k == 0).
+
+    Elementwise VPU work, fused into the same jit as the scan."""
+    L = ids_tm.shape[0]
+    g = ids_tm[0::k]
+    for j in range(1, k):
+        g = g * V + ids_tm[j::k]
+    return g
+
+
+@lru_cache(maxsize=None)
+def make_stepped_count(V: int, k: int, Vk: int, count_bits: int,
+                       halo_steps: int):
+    """Returns jitted count(packed, ids_tm) -> total (packed variant).
+
+    ids_tm: [L, B] symbol ids with L % k == 0 and the first
+    halo_steps * k rows being warm-up halo (excluded from the count)."""
+    mask = (1 << count_bits) - 1
+
+    @jax.jit
+    def count(packed, ids_tm):
+        grams = combine_grams(ids_tm, V, k)          # [Lk, B]
+        Lk = grams.shape[0]
+        s0 = grams[0] * 0
+        zero = grams[0] * 0
+
+        def step(carry, tg):
+            t, g = tg
+            s, tot = carry
+            v = packed[s * Vk + g]
+            s2 = v >> count_bits
+            cnt = jnp.where(t >= halo_steps, v & mask, 0)
+            return (s2, tot + cnt), None
+
+        ts = jnp.arange(Lk, dtype=jnp.int32)
+        (_, tot), _ = lax.scan(step, (s0, zero), (ts, grams))
+        return jnp.sum(tot)
+
+    return count
+
+
+@lru_cache(maxsize=None)
+def make_stepped_count_unpacked(V: int, k: int, Vk: int, halo_steps: int):
+    """Two-table fallback when (state, count) exceed 31 packed bits."""
+
+    @jax.jit
+    def count(delta_k, cnt_k, ids_tm):
+        grams = combine_grams(ids_tm, V, k)
+        Lk = grams.shape[0]
+        s0 = grams[0] * 0
+        zero = grams[0] * 0
+
+        def step(carry, tg):
+            t, g = tg
+            s, tot = carry
+            i = s * Vk + g
+            s2 = delta_k[i]
+            cnt = jnp.where(t >= halo_steps, cnt_k[i], 0)
+            return (s2, tot + cnt), None
+
+        ts = jnp.arange(Lk, dtype=jnp.int32)
+        (_, tot), _ = lax.scan(step, (s0, zero), (ts, grams))
+        return jnp.sum(tot)
+
+    return count

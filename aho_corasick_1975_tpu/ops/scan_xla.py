@@ -94,6 +94,42 @@ def make_blocked_scan(V: int):
     return scan
 
 
+def blocked_count_core(V: int, halo: int, dflat, nb_out, ids_tm):
+    """Traced body shared by the jitted single-chip count and the shard_map
+    per-device count: total matches over a [L, B] time-major block matrix,
+    excluding the halo warm-up rows."""
+    L, B = ids_tm.shape
+    # Derive carry inits from the input so shard_map's varying-axis tracking
+    # accepts the scan (a literal zeros const is device-invariant and cannot
+    # carry a varying output).
+    s0 = ids_tm[0] * 0
+    zero = ids_tm[0] * 0
+
+    def step(carry, tc):
+        t, c = tc
+        s, tot = carry
+        s2 = dflat[s * V + c]
+        cnt = jnp.where(t >= halo, nb_out[s2], 0)
+        return (s2, tot + cnt), None
+
+    ts = jnp.arange(L, dtype=jnp.int32)
+    (_, tot), _ = lax.scan(step, (s0, zero), (ts, ids_tm))
+    return jnp.sum(tot)
+
+
+def window_layout(ids_ext, n_blocks: int, block_len: int, halo: int):
+    """In-graph equivalent of ops/blocking.block_time_major.
+
+    ids_ext: [halo + n_blocks*block_len] stream with its left halo already
+    prepended (zeros at the stream head, or the neighbor shard's tail on
+    multi-chip). Returns the [halo+block_len, n_blocks] time-major windows
+    via one gather."""
+    H, L, B = halo, block_len, n_blocks
+    idx = (jnp.arange(H + L, dtype=jnp.int32)[:, None]
+           + (jnp.arange(B, dtype=jnp.int32) * L)[None, :])
+    return ids_ext[idx]
+
+
 @lru_cache(maxsize=None)
 def make_blocked_count(V: int, halo: int):
     """Returns count(dflat, nb_out, ids_tm) -> total matches (int32).
@@ -103,19 +139,6 @@ def make_blocked_count(V: int, halo: int):
 
     @jax.jit
     def count(dflat, nb_out, ids_tm):
-        L, B = ids_tm.shape
-        s0 = jnp.zeros((B,), dtype=jnp.int32)
-        zero = jnp.zeros((B,), dtype=jnp.int32)
-
-        def step(carry, tc):
-            t, c = tc
-            s, tot = carry
-            s2 = dflat[s * V + c]
-            cnt = jnp.where(t >= halo, nb_out[s2], 0)
-            return (s2, tot + cnt), None
-
-        ts = jnp.arange(L, dtype=jnp.int32)
-        (_, tot), _ = lax.scan(step, (s0, zero), (ts, ids_tm))
-        return jnp.sum(tot)
+        return blocked_count_core(V, halo, dflat, nb_out, ids_tm)
 
     return count

@@ -1,0 +1,161 @@
+"""Multi-chip data-parallel scanning: shard_map + ppermute halo + psum.
+
+The corpus is sharded along the "data" mesh axis; the automaton tables are
+replicated on every chip (they are small relative to HBM: a 10k-keyword
+machine is a few MB of int32). A match can span a shard edge, so each shard
+receives the last ``halo`` symbols of its left neighbor via ``lax.ppermute``
+(shard 0 receives zeros = OOV, exactly the stream head), re-runs them from
+the root as warm-up (convergence proof in ops/blocking.py), then scans its
+own symbols with the same blocked kernel used single-chip. Totals reduce
+with ``psum`` — the TPU-native equivalent of the NCCL-class backend the
+reference never had (SURVEY.md §2c, §5 "Distributed communication backend").
+
+Works unchanged on a multi-host mesh: shard_map + NamedSharding place the
+collectives on ICI within a slice and DCN across hosts; nothing here is
+host-count-aware.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.scan_xla import blocked_count_core, window_layout
+from .mesh import DATA_AXIS
+
+
+def _right_shift_halo(ids_local, halo: int, axis_name: str, n_dev: int):
+    """Each shard sends its last ``halo`` symbols to its right neighbor.
+    Shard 0 receives zeros (OOV pad — correct for the stream head)."""
+    if halo == 0:
+        return ids_local[:0]
+    tail = ids_local[-halo:]
+    if n_dev == 1:
+        return jnp.zeros_like(tail)
+    # ppermute: devices missing as a destination receive zeros.
+    return lax.ppermute(tail, axis_name,
+                        perm=[(i, i + 1) for i in range(n_dev - 1)])
+
+
+def make_sharded_count(mesh: Mesh, V: int, halo: int,
+                       n_streams_per_device: int = 256,
+                       axis_name: str = DATA_AXIS):
+    """Returns jitted count(dflat, nb_out, ids) -> total matches.
+
+    ids: int32 [T] with T divisible by the mesh size (caller pads with OOV;
+    OOV lands on the root whose output count is 0, so padding is inert).
+    dflat/nb_out replicated, ids sharded along ``axis_name``.
+    """
+    n_dev = mesh.shape[axis_name]
+
+    def local_count(dflat, nb_out, ids_local):
+        ids_local = ids_local.reshape(-1)  # shard_map keeps rank; [T/D]
+        Tl = ids_local.shape[0]
+        left = _right_shift_halo(ids_local, halo, axis_name, n_dev)
+        B = min(n_streams_per_device, max(1, Tl // 64))
+        L = -(-Tl // B)
+        pad = B * L - Tl
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
+        win = window_layout(ext, B, L, halo)
+        tot = blocked_count_core(V, halo, dflat, nb_out, win)
+        return lax.psum(tot, axis_name)
+
+    fn = jax.shard_map(local_count, mesh=mesh,
+                       in_specs=(P(), P(), P(axis_name)),
+                       out_specs=P())
+    return jax.jit(fn)
+
+
+def make_sharded_scan_states(mesh: Mesh, V: int, halo: int,
+                             n_streams_per_device: int = 256,
+                             axis_name: str = DATA_AXIS):
+    """Returns jitted scan(dflat, ids) -> states[T] (sharded like ids).
+
+    Per-position automaton states across the whole sharded stream — the
+    input to host-side match decoding (ops/decode.py) with per-shard
+    offsets. Tail padding within each shard is the caller's concern (states
+    at padded positions are root-reachable junk only if ids were padded
+    mid-shard; pad only at the stream end)."""
+    n_dev = mesh.shape[axis_name]
+
+    def local_scan(dflat, ids_local):
+        ids_local = ids_local.reshape(-1)
+        Tl = ids_local.shape[0]
+        left = _right_shift_halo(ids_local, halo, axis_name, n_dev)
+        B = min(n_streams_per_device, max(1, Tl // 64))
+        L = -(-Tl // B)
+        pad = B * L - Tl
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
+        win = window_layout(ext, B, L, halo)
+        s0 = win[0] * 0  # varying-axis-safe zero init (see blocked_count_core)
+
+        def step(s, c):
+            s2 = dflat[s * V + c]
+            return s2, s2
+
+        _, states_tm = lax.scan(step, s0, win)       # [halo+L, B]
+        body = states_tm[halo:, :]                   # drop warm-up
+        return body.T.reshape(-1)[:Tl]
+
+    fn = jax.shard_map(local_scan, mesh=mesh,
+                       in_specs=(P(), P(axis_name)),
+                       out_specs=P(axis_name))
+    return jax.jit(fn)
+
+
+class ShardedScanner:
+    """Mesh-wide scanner over a machine snapshot: the multi-chip sibling of
+    models.scanner.DenseScanner."""
+
+    def __init__(self, machine, mesh: Mesh, n_streams_per_device: int = 256,
+                 axis_name: str = DATA_AXIS, tables=None):
+        self.machine = machine
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.tables = tables if tables is not None else machine.compile()
+        self.halo = max(self.tables.max_depth - 1, 0)
+        self.V = self.tables.vocab_size
+        self.n_dev = mesh.shape[axis_name]
+        repl = NamedSharding(mesh, P())
+        self._shard = NamedSharding(mesh, P(axis_name))
+        self._dflat = jax.device_put(
+            jnp.asarray(self.tables.delta.reshape(-1)), repl)
+        self._nb_out = jax.device_put(
+            jnp.asarray(self.tables.nb_outputs), repl)
+        self._count = make_sharded_count(mesh, self.V, self.halo,
+                                         n_streams_per_device, axis_name)
+        self._scan = make_sharded_scan_states(mesh, self.V, self.halo,
+                                              n_streams_per_device, axis_name)
+
+    def _pad_and_place(self, ids: np.ndarray):
+        T = len(ids)
+        Tp = -(-T // self.n_dev) * self.n_dev
+        if Tp != T:
+            ids = np.concatenate([ids, np.zeros(Tp - T, np.int32)])
+        return jax.device_put(jnp.asarray(ids), self._shard), T
+
+    def count(self, signs) -> int:
+        ids = np.asarray(self.machine.vocab.lookup_many(signs), np.int32) \
+            if not (isinstance(signs, np.ndarray) and signs.dtype == np.int32) \
+            else signs
+        if len(ids) == 0:
+            return 0
+        placed, _ = self._pad_and_place(ids)
+        return int(self._count(self._dflat, self._nb_out, placed))
+
+    def scan_states(self, signs) -> np.ndarray:
+        ids = np.asarray(self.machine.vocab.lookup_many(signs), np.int32) \
+            if not (isinstance(signs, np.ndarray) and signs.dtype == np.int32) \
+            else signs
+        if len(ids) == 0:
+            return np.zeros(0, np.int32)
+        placed, T = self._pad_and_place(ids)
+        return np.asarray(self._scan(self._dflat, placed))[:T]

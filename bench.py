@@ -1,0 +1,119 @@
+"""Headline benchmark: scan throughput, bytes/sec/chip.
+
+Config follows BASELINE.json's metric: mrs_dalloway.txt (the reference's
+conformance corpus, loaded read-only from the mounted reference; synthetic
+fallback if absent) with a 1000-keyword dictionary built from its own most
+frequent words, scanned on one chip via the blocked dense-table kernel.
+
+vs_baseline compares against the reference's published scan rate (~3.1 MB/s:
+376,617 chars in 0.12 s, reference README.md:367).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "bytes/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+
+import numpy as np
+
+REFERENCE_CORPUS = "/root/reference/examples/mrs_dalloway.txt"
+BASELINE_BYTES_PER_SEC = 376_617 / 0.12  # reference README.md:367
+N_KEYWORDS = 1000
+TARGET_BYTES = 64 * 1024 * 1024
+N_STREAMS = 2048
+REPS = 5
+
+
+def load_corpus() -> str:
+    try:
+        with open(REFERENCE_CORPUS, "r", errors="replace") as f:
+            return f.read()
+    except OSError:
+        rng = np.random.default_rng(0)
+        words = ["".join(rng.choice(list("abcdefghij"), size=rng.integers(2, 9)))
+                 for _ in range(2000)]
+        return " ".join(rng.choice(words) for _ in range(60000))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import aho_corasick_1975_tpu as ac
+
+    raw = load_corpus()
+    # Normalize like the reference's Test 2 (generic_test.c:192-195):
+    # case-fold, non-alpha -> space.
+    norm = re.sub(r"[^a-z]", " ", raw.lower())
+
+    # Dictionary: the corpus's 1000 most frequent words.
+    freq: dict[str, int] = {}
+    for w in norm.split():
+        freq[w] = freq.get(w, 0) + 1
+    words = sorted(freq, key=lambda w: (-freq[w], w))[:N_KEYWORDS]
+
+    machine = ac.Machine()
+    for w in words:
+        machine.insert_keyword(" " + w + " ")  # word-boundary sentinels
+    scanner = machine.scanner(n_streams=N_STREAMS)
+
+    # Tile the corpus up to the target size, encode once via a byte LUT.
+    reps = max(1, TARGET_BYTES // len(norm))
+    text = (norm + " ") * reps
+    lut = np.zeros(256, np.int32)
+    for b in range(32, 127):
+        lut[b] = machine.vocab.lookup(chr(b))
+    ids = lut[np.frombuffer(text.encode("latin-1"), np.uint8)]
+
+    # Pre-layout and pre-upload: the metric is device scan throughput with
+    # tables and corpus resident in HBM (the reference's analogue scans
+    # from RAM, README.md:367).
+    if scanner._stepped is not None:
+        dev_blocks = jnp.asarray(scanner._layout_stepped(ids))
+        tabs = scanner._st_dev
+        count_fn = scanner._stepped_count
+        k = scanner._stepped.k
+    else:
+        dev_blocks = jnp.asarray(scanner._layout(ids)[0])
+        tabs = (scanner._dflat, scanner._nb_out)
+        count_fn = scanner._blocked_count
+        k = 1
+
+    # Warm-up (compile + first run).
+    total = int(count_fn(*tabs, dev_blocks))
+
+    # Synchronous timing: async dispatch + block_until_ready is unreliable
+    # through this TPU tunnel; int() forces real completion per rep.
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        r = int(count_fn(*tabs, dev_blocks))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    assert r == total
+
+    nbytes = len(text)
+    value = nbytes / dt
+    print(json.dumps({
+        "metric": "scan_throughput_mrs_dalloway_1000kw",
+        "value": round(value, 1),
+        "unit": "bytes/sec/chip",
+        "vs_baseline": round(value / BASELINE_BYTES_PER_SEC, 2),
+        "detail": {
+            "corpus_bytes": nbytes,
+            "n_keywords": machine.nb_keywords(),
+            "n_states": machine.n_states,
+            "matches": total,
+            "device": str(jax.devices()[0]),
+            "seconds_per_pass": round(dt, 4),
+            "step_k": k,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

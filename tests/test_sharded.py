@@ -1,0 +1,78 @@
+"""Multi-chip tests on a fake 8-device CPU mesh (conftest rig).
+
+Validates the distributed layer the reference never had (SURVEY.md §2c):
+data-parallel corpus sharding with replicated tables, ppermute halo handoff
+at shard edges, psum-reduced counts — against the single-chip scanner and
+brute force.
+"""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+import aho_corasick_1975_tpu as ac
+from aho_corasick_1975_tpu.parallel.mesh import make_mesh
+from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_sharded_count_matches_single_chip(mesh8):
+    rng = random.Random(42)
+    m = ac.Machine()
+    for _ in range(50):
+        m.insert_keyword("".join(rng.choice("abc")
+                                 for _ in range(rng.randint(1, 6))))
+    text = "".join(rng.choice("abcx") for _ in range(4096))
+    single = m.scanner(n_streams=16)
+    sharded = ShardedScanner(m, mesh8, n_streams_per_device=8)
+    assert sharded.count(text) == single.count(text)
+    np.testing.assert_array_equal(sharded.scan_states(text),
+                                  single.scan_states(text))
+
+
+def test_match_spanning_shard_boundary(mesh8):
+    """A keyword laid exactly across every shard edge must still match:
+    the ppermute halo re-derives the boundary state."""
+    m = ac.Machine()
+    m.insert_keyword("spanner")
+    T = 8 * 64
+    text = ["."] * T
+    hits = 0
+    for edge in range(64, T, 64):          # every shard boundary
+        start = edge - 3                   # "spa" | "nner" across the edge
+        if start >= 0 and start + 7 <= T:
+            for k, ch in enumerate("spanner"):
+                text[start + k] = ch
+            hits += 1
+    text = "".join(text)
+    sharded = ShardedScanner(m, mesh8, n_streams_per_device=4)
+    assert sharded.count(text) == hits
+    # positions too: decode from sharded states
+    from aho_corasick_1975_tpu.ops.decode import decode_matches
+    events = decode_matches(sharded.scan_states(text), sharded.tables)
+    starts = sorted(ev.start for ev in events)
+    assert starts == sorted(e - 3 for e in range(64, T, 64))
+
+
+def test_uneven_length_padding(mesh8):
+    """T not divisible by the mesh size: OOV padding must be inert."""
+    m = ac.Machine()
+    m.insert_keyword("ab")
+    text = "ab" * 501 + "a"          # T = 1003, not divisible by 8
+    sharded = ShardedScanner(m, mesh8, n_streams_per_device=4)
+    assert sharded.count(text) == 501
+
+
+def test_empty_and_tiny_streams(mesh8):
+    m = ac.Machine()
+    m.insert_keyword("xy")
+    sharded = ShardedScanner(m, mesh8, n_streams_per_device=2)
+    assert sharded.count("") == 0
+    assert sharded.count("xy") == 1     # T=2 < n_dev: pure padding shards
