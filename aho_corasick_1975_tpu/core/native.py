@@ -1,0 +1,322 @@
+"""ctypes binding for the native C++ automaton core (native/acx.cpp).
+
+Presents the exact backend interface of core.builder.Builder (insert_letter,
+insert_end, match, get_match_state, keyword_letters, iter_keywords,
+emit_tables, array properties), so models.machine.Machine can swap backends
+transparently (backend="auto" prefers native, falls back to Python).
+
+The shared library self-builds on first import (g++ -O2 -shared) and is
+cached next to the source; rebuilt when acx.cpp is newer.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+import threading
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .builder import NO_STATE, ROOT, DenseTables
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                           "native")
+_SRC = os.path.join(_NATIVE_DIR, "acx.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libacx.so")
+_build_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _build_lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ct.CDLL(_SO)
+        i32, i64, i8, u8 = ct.c_int32, ct.c_int64, ct.c_int8, ct.c_uint8
+        p = ct.POINTER
+        lib.acx_create.restype = ct.c_void_p
+        lib.acx_create.argtypes = [ct.c_int]
+        lib.acx_release.argtypes = [ct.c_void_p]
+        lib.acx_insert_letter.restype = i32
+        lib.acx_insert_letter.argtypes = [ct.c_void_p, i32, i32]
+        lib.acx_insert_end.restype = i32
+        lib.acx_insert_end.argtypes = [ct.c_void_p, i32]
+        lib.acx_insert_keywords.argtypes = [
+            ct.c_void_p, p(i32), p(i64), i64, p(i32), p(i8)]
+        lib.acx_match.restype = i64
+        lib.acx_match.argtypes = [ct.c_void_p, i32, i32, p(i32)]
+        lib.acx_match_bulk.restype = i64
+        lib.acx_match_bulk.argtypes = [ct.c_void_p, p(i32), p(i32), i64]
+        lib.acx_get_match_state.restype = i32
+        lib.acx_get_match_state.argtypes = [ct.c_void_p, i32, i64]
+        for name in ("acx_n_states", "acx_nb_sequences", "acx_version",
+                     "acx_reconstruct", "acx_n_edges"):
+            getattr(lib, name).restype = i64
+            getattr(lib, name).argtypes = [ct.c_void_p]
+        lib.acx_max_letter.restype = i32
+        lib.acx_max_letter.argtypes = [ct.c_void_p]
+        lib.acx_ensure_fail_states.argtypes = [ct.c_void_p]
+        lib.acx_export_arrays.argtypes = [ct.c_void_p] + [p(i32)] * 3 + \
+            [p(u8)] + [p(i32)] * 3
+        lib.acx_emit_delta.argtypes = [ct.c_void_p, i32, p(i32)]
+        lib.acx_export_edges.argtypes = [ct.c_void_p, p(i32), p(i32), p(i32)]
+        _lib = lib
+        return lib
+
+
+def _ptr(arr: np.ndarray, typ):
+    return arr.ctypes.data_as(ct.POINTER(typ))
+
+
+class NativeBuilder:
+    """Backend-compatible wrapper over the C++ core."""
+
+    def __init__(self, incremental: bool = True):
+        self._lib = load_library()
+        self._h = ct.c_void_p(self._lib.acx_create(1 if incremental else 0))
+        self.incremental = incremental
+        self._snap_version = -1
+        self._arrays = None   # (fail, prev_state, prev_letter, is_end,
+        #                        nb_outputs, depth, kw_rank)
+        self._children = None
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.acx_release(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    # -- core ops ----------------------------------------------------------
+
+    @property
+    def n_states(self) -> int:
+        return int(self._lib.acx_n_states(self._h))
+
+    @property
+    def nb_sequences(self) -> int:
+        return int(self._lib.acx_nb_sequences(self._h))
+
+    @property
+    def version(self) -> int:
+        return int(self._lib.acx_version(self._h))
+
+    @property
+    def reconstruct(self) -> int:
+        return int(self._lib.acx_reconstruct(self._h))
+
+    @property
+    def max_letter(self) -> int:
+        return int(self._lib.acx_max_letter(self._h))
+
+    def insert_letter(self, state: int, letter: int) -> int:
+        if letter <= 0:
+            raise ValueError("letter ids must be >= 1 (0 is reserved for OOV)")
+        return int(self._lib.acx_insert_letter(self._h, state, letter))
+
+    def insert_end(self, state: int) -> bool:
+        if state == ROOT:
+            raise ValueError("insert_letter must be called first (ref c:345)")
+        return bool(self._lib.acx_insert_end(self._h, state))
+
+    def insert_keywords_bulk(self, letters: np.ndarray,
+                             offsets: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Insert many keywords in one native call.
+        letters: int32 concatenated ids; offsets: int64 [n+1]."""
+        letters = np.ascontiguousarray(letters, np.int32)
+        offsets = np.ascontiguousarray(offsets, np.int64)
+        n = len(offsets) - 1
+        ends = np.empty(n, np.int32)
+        fresh = np.empty(n, np.int8)
+        self._lib.acx_insert_keywords(
+            self._h, _ptr(letters, ct.c_int32), _ptr(offsets, ct.c_int64),
+            n, _ptr(ends, ct.c_int32), _ptr(fresh, ct.c_int8))
+        return ends, fresh.astype(bool)
+
+    def match(self, state: int, letter: int) -> Tuple[int, int]:
+        nxt = ct.c_int32()
+        nb = self._lib.acx_match(self._h, state, letter, ct.byref(nxt))
+        return int(nxt.value), int(nb)
+
+    def match_bulk(self, state: int, letters: np.ndarray) -> Tuple[int, int]:
+        letters = np.ascontiguousarray(letters, np.int32)
+        s = ct.c_int32(state)
+        total = self._lib.acx_match_bulk(self._h, ct.byref(s),
+                                         _ptr(letters, ct.c_int32),
+                                         len(letters))
+        return int(s.value), int(total)
+
+    def get_match_state(self, state: int, index: int) -> int:
+        r = int(self._lib.acx_get_match_state(self._h, state, index))
+        if r == NO_STATE:
+            raise IndexError("match index out of bounds (ref c:456)")
+        return r
+
+    def ensure_fail_states(self) -> None:
+        self._lib.acx_ensure_fail_states(self._h)
+
+    # -- array snapshots ----------------------------------------------------
+
+    def _refresh(self):
+        if self._snap_version == self.version and self._arrays is not None \
+                and self._arrays[0].shape[0] == self.n_states:
+            return
+        self.ensure_fail_states()
+        S = self.n_states
+        fail = np.empty(S, np.int32)
+        prev_state = np.empty(S, np.int32)
+        prev_letter = np.empty(S, np.int32)
+        is_end = np.empty(S, np.uint8)
+        nb_outputs = np.empty(S, np.int32)
+        depth = np.empty(S, np.int32)
+        kw_rank = np.empty(S, np.int32)
+        self._lib.acx_export_arrays(
+            self._h, _ptr(fail, ct.c_int32), _ptr(prev_state, ct.c_int32),
+            _ptr(prev_letter, ct.c_int32), _ptr(is_end, ct.c_uint8),
+            _ptr(nb_outputs, ct.c_int32), _ptr(depth, ct.c_int32),
+            _ptr(kw_rank, ct.c_int32))
+        self._arrays = (fail, prev_state, prev_letter, is_end.astype(bool),
+                        nb_outputs, depth, kw_rank)
+        self._children = None
+        self._snap_version = self.version
+
+    @property
+    def fail(self) -> np.ndarray:
+        self._refresh()
+        return self._arrays[0]
+
+    @property
+    def prev_state(self) -> np.ndarray:
+        self._refresh()
+        return self._arrays[1]
+
+    @property
+    def prev_letter(self) -> np.ndarray:
+        self._refresh()
+        return self._arrays[2]
+
+    @property
+    def is_end(self) -> np.ndarray:
+        self._refresh()
+        return self._arrays[3]
+
+    @property
+    def nb_outputs(self) -> np.ndarray:
+        self._refresh()
+        return self._arrays[4]
+
+    @property
+    def depth(self) -> np.ndarray:
+        self._refresh()
+        return self._arrays[5]
+
+    @property
+    def kw_rank(self) -> np.ndarray:
+        self._refresh()
+        return self._arrays[6]
+
+    @property
+    def transitions(self) -> List[dict]:
+        """Per-state {letter: child} dicts, rebuilt on demand (introspection
+        paths only — dump/print)."""
+        self._refresh()
+        if self._children is None:
+            S = self.n_states
+            E = int(self._lib.acx_n_edges(self._h))
+            parents = np.empty(E, np.int32)
+            letters = np.empty(E, np.int32)
+            children = np.empty(E, np.int32)
+            self._lib.acx_export_edges(
+                self._h, _ptr(parents, ct.c_int32), _ptr(letters, ct.c_int32),
+                _ptr(children, ct.c_int32))
+            trans: List[dict] = [{} for _ in range(S)]
+            for pa, le, ch in zip(parents.tolist(), letters.tolist(),
+                                  children.tolist()):
+                trans[pa][le] = ch
+            self._children = trans
+        return self._children
+
+    # -- keyword reconstruction / enumeration -------------------------------
+
+    def keyword_letters(self, state: int) -> List[int]:
+        self._refresh()
+        prev_state, prev_letter = self._arrays[1], self._arrays[2]
+        out: List[int] = []
+        while prev_state[state] != NO_STATE:
+            out.append(int(prev_letter[state]))
+            state = int(prev_state[state])
+        out.reverse()
+        return out
+
+    def iter_keywords(self, sort_key=None) -> Iterator[Tuple[int, List[int]]]:
+        trans = self.transitions
+        is_end = self.is_end
+        key = sort_key or (lambda a: a)
+        letters: List[int] = []
+
+        def rec(s: int):
+            if is_end[s] and letters:
+                yield s, list(letters)
+            for a in sorted(trans[s], key=key):
+                letters.append(a)
+                yield from rec(trans[s][a])
+                letters.pop()
+
+        yield from rec(ROOT)
+
+    # -- dense emission ------------------------------------------------------
+
+    def emit_tables(self, vocab_size: Optional[int] = None) -> DenseTables:
+        self.ensure_fail_states()
+        self._refresh()
+        (fail, prev_state, prev_letter, is_end, nb_outputs, depth,
+         kw_rank) = self._arrays
+        S = self.n_states
+        V = vocab_size if vocab_size is not None else self.max_letter + 1
+        if V < self.max_letter + 1:
+            raise ValueError("vocab_size smaller than largest letter id")
+        delta = np.empty((S, V), np.int32)
+        self._lib.acx_emit_delta(self._h, V, _ptr(delta, ct.c_int32))
+
+        # Emit CSR from the fail chain, self (longest) first — vectorized:
+        # process states in depth order so emits[fail[s]] is final.
+        emit_start = np.zeros(S + 1, np.int32)
+        emit_start[1:] = np.cumsum(nb_outputs)
+        emit_state = np.empty(int(emit_start[-1]), np.int32)
+        order = np.argsort(depth, kind="stable")
+        for s in order:
+            n = nb_outputs[s]
+            if n == 0:
+                continue
+            base = emit_start[s]
+            f = fail[s]
+            if is_end[s]:
+                emit_state[base] = s
+                if n > 1:
+                    fb = emit_start[f]
+                    emit_state[base + 1:base + n] = \
+                        emit_state[fb:fb + n - 1]
+            else:
+                fb = emit_start[f]
+                emit_state[base:base + n] = emit_state[fb:fb + n]
+
+        return DenseTables(
+            delta=delta, nb_outputs=nb_outputs.copy(), fail=fail.copy(),
+            depth=depth.copy(), is_end=is_end.copy(), kw_rank=kw_rank.copy(),
+            prev_state=prev_state.copy(), prev_letter=prev_letter.copy(),
+            emit_start=emit_start, emit_state=emit_state,
+            version=self.version, n_keywords=self.nb_sequences)

@@ -35,7 +35,8 @@ def print_machine(machine, stream: IO[str],
         # Invariant checks (ref c:578-579).
         assert not b.is_end[state] or b.nb_outputs[state], \
             "Keyword without defined output."
-        assert (b.fail[state] == NO_STATE) == (state == ROOT), \
+        # (the native backend exports the root's undefined fail as ROOT)
+        assert state == ROOT or b.fail[state] != NO_STATE, \
             "Incorrect fail state."
         for a in sorted(b.transitions[state], key=vocab.sort_key):
             transition_print(state, a, b.transitions[state][a], indent)

@@ -1,0 +1,123 @@
+"""Native (C++) backend vs pure-Python backend: bit-exact parity.
+
+The C++ core (native/acx.cpp, bound in core/native.py) must produce the
+identical automaton — same state ids (creation order), same fail links,
+output counts, dense tables and streaming behaviour — as the Python
+reference backend, in both Meyer-85 and AC75 modes.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import aho_corasick_1975_tpu as ac
+from aho_corasick_1975_tpu.core.builder import Builder
+
+try:
+    from aho_corasick_1975_tpu.core.native import NativeBuilder, load_library
+    load_library()
+    HAVE_NATIVE = True
+except Exception:  # pragma: no cover - toolchain missing
+    HAVE_NATIVE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_NATIVE,
+                                reason="native toolchain unavailable")
+
+TABLE_FIELDS = ("delta", "fail", "nb_outputs", "emit_start", "emit_state",
+                "depth", "is_end", "kw_rank", "prev_state", "prev_letter")
+
+
+def rand_keywords(seed, n=150, alphabet="abcd", maxlen=8):
+    rng = random.Random(seed)
+    return ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, maxlen)))
+            for _ in range(n)]
+
+
+@pytest.mark.parametrize("incremental", [True, False],
+                         ids=["meyer85", "ac75"])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_table_parity(incremental, seed):
+    kws = rand_keywords(seed)
+    nb, pb = NativeBuilder(incremental), Builder(incremental)
+    vocab = {}
+
+    def ids(w):
+        return [vocab.setdefault(ch, len(vocab) + 1) for ch in w]
+
+    for w in kws:
+        s1 = s2 = 0
+        for letter in ids(w):
+            s1 = nb.insert_letter(s1, letter)
+            s2 = pb.insert_letter(s2, letter)
+            assert s1 == s2
+        assert nb.insert_end(s1) == pb.insert_end(s2)
+    t1 = nb.emit_tables(len(vocab) + 1)
+    t2 = pb.emit_tables(len(vocab) + 1)
+    for f in TABLE_FIELDS:
+        np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f), f)
+
+    rng = random.Random(seed + 99)
+    text_ids = [vocab.get(c, 0) for c in
+                (rng.choice("abcdxy") for _ in range(3000))]
+    s1 = s2 = 0
+    for letter in text_ids:
+        r1, r2 = nb.match(s1, letter), pb.match(s2, letter)
+        assert r1 == r2
+        s1, s2 = r1[0], r2[0]
+    # bulk streaming equals per-symbol streaming
+    sb, total = nb.match_bulk(0, np.asarray(text_ids, np.int32))
+    s2 = 0
+    expect = 0
+    for letter in text_ids:
+        s2, n = pb.match(s2, letter)
+        expect += n
+    assert sb == s2 and total == expect
+
+
+def test_bulk_insert_matches_streaming_insert():
+    kws = rand_keywords(7, n=300)
+    vocab = {}
+
+    def ids(w):
+        return [vocab.setdefault(ch, len(vocab) + 1) for ch in w]
+
+    all_ids = [ids(w) for w in kws]
+    flat = np.asarray([i for w in all_ids for i in w], np.int32)
+    offsets = np.zeros(len(kws) + 1, np.int64)
+    np.cumsum([len(w) for w in all_ids], out=offsets[1:])
+
+    b1 = NativeBuilder(True)
+    ends, fresh = b1.insert_keywords_bulk(flat, offsets)
+
+    b2 = NativeBuilder(True)
+    ends2, fresh2 = [], []
+    for w in all_ids:
+        s = 0
+        for letter in w:
+            s = b2.insert_letter(s, letter)
+        fresh2.append(b2.insert_end(s))
+        ends2.append(s)
+    assert list(ends) == ends2
+    assert list(fresh) == fresh2
+    t1, t2 = b1.emit_tables(), b2.emit_tables()
+    for f in TABLE_FIELDS:
+        np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f), f)
+
+
+def test_machine_backend_explicit():
+    """backend='native' end to end through the public Machine API."""
+    m = ac.Machine(backend="native")
+    for kw in ["he", "she", "his", "hers"]:
+        m.insert_keyword(kw)
+    text = "To ushers: he found his pencil, but she could not find hers."
+    cur = m.initiate()
+    out = []
+    for i, ch in enumerate(text):
+        for j in range(m.match(cur, ch), 0, -1):
+            mt = m.get_match(cur, j - 1)
+            out.append(f" {i + 2 - mt.length}:{mt.text()}")
+    assert "".join(out) == \
+        " 6:he 5:she 6:hers 12:he 21:his 38:he 37:she 56:he 56:hers"
+    assert m.scanner(n_streams=4).count(text) == 9
+    assert [k.text() for k in m.keywords()] == ["he", "hers", "his", "she"]
