@@ -1,0 +1,108 @@
+"""ByteMachine: fixed 256-symbol byte alphabet with vectorized encoding.
+
+The generic Machine resolves signs through a Python-dict vocabulary — exact
+but O(T) Python work per scan. For byte streams (the reference's
+``ACM_CMP_DEFAULT`` + sizeof(char) configuration, examples/test.c:4) the
+alphabet is fixed, so encoding collapses to one numpy table lookup over the
+whole buffer, and the dense tables use a constant V=257 (256 byte values
+after the OOV slot; every byte is in-vocabulary).
+
+This is also the scalable answer for *huge* alphabets (BASELINE config 4,
+50k-multilingual-keyword Unicode): encode text as UTF-8 and match bytes —
+state count grows modestly while the table width stays 257, where a
+codepoint-vocab dense table would be S x 50k. See UnicodeMachine for the
+codepoint-exact variant on moderate vocabularies.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from .machine import Machine
+
+
+class _ByteVocab:
+    """Identity byte->id map: id = byte + 1 (0 stays OOV; no byte is OOV,
+    but id 0 is kept so tables share the generic layout)."""
+
+    key_fn = staticmethod(lambda b: b)
+    size = 257
+
+    def register(self, sign: int) -> int:
+        return int(sign) + 1
+
+    def lookup(self, sign: int) -> int:
+        return int(sign) + 1
+
+    def lookup_many(self, signs) -> np.ndarray:
+        if isinstance(signs, str):
+            signs = signs.encode("utf-8")
+        arr = np.frombuffer(signs, np.uint8) if isinstance(signs, (bytes, bytearray)) \
+            else np.asarray(signs, np.uint8)
+        return arr.astype(np.int32) + 1
+
+    def sign(self, letter_id: int) -> int:
+        return letter_id - 1
+
+    def signs(self, letter_ids):
+        return [i - 1 for i in letter_ids]
+
+    def sort_key(self, letter_id: int) -> int:
+        return letter_id
+
+
+class ByteMachine(Machine):
+    """Multi-pattern matcher over bytes (keywords and corpora are
+    bytes/bytearray/uint8 arrays)."""
+
+    def __init__(self, incremental: bool = True, backend: str = "auto"):
+        super().__init__(key_fn=None, incremental=incremental,
+                         backend=backend)
+        self.vocab = _ByteVocab()
+
+    def insert_keyword(self, data: Union[bytes, bytearray, np.ndarray],
+                       value=None):
+        if isinstance(data, str):
+            data = data.encode("utf-8")
+        cur = self.initiate()
+        arr = np.frombuffer(bytes(data), np.uint8)
+        if len(arr) == 0:
+            raise ValueError("empty keyword (ref c:345)")
+        ids = arr.astype(np.int32) + 1
+        b = self._b
+        if hasattr(b, "insert_keywords_bulk"):
+            offsets = np.asarray([0, len(ids)], np.int64)
+            ends, _ = b.insert_keywords_bulk(ids, offsets)
+            end = int(ends[0])
+        else:
+            s = 0
+            for letter in ids.tolist():
+                s = b.insert_letter(s, int(letter))
+            b.insert_end(s)
+            end = s
+        prev = self._values.get(end)
+        if prev is None and value is not None:
+            self._values[end] = value
+        return prev
+
+    def match_bytes(self, match) -> bytes:
+        """Render a Match's letters back into bytes."""
+        return bytes(match.letters)
+
+
+class UnicodeMachine(Machine):
+    """Codepoint-alphabet matcher with optional case folding — the
+    wide-character configuration of the reference's generic test
+    (wchar_t + alphacmp, examples/aho_corasick_generic_test.c:48-54,176).
+
+    Suitable while the *distinct codepoints appearing in keywords* stay
+    moderate (the dense table is S x vocab); for open-ended multilingual
+    dictionaries prefer ByteMachine over UTF-8.
+    """
+
+    def __init__(self, casefold: bool = False, incremental: bool = True,
+                 backend: str = "auto"):
+        key = (lambda ch: ch.casefold()) if casefold else None
+        super().__init__(key_fn=key, incremental=incremental, backend=backend)

@@ -13,6 +13,7 @@ exact (proof in ops/blocking.py).
 
 from __future__ import annotations
 
+import time
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
@@ -35,7 +36,7 @@ class DenseScanner:
                  halo: Optional[int] = None,
                  tables: Optional[DenseTables] = None,
                  step_k: "int | str" = "auto",
-                 step_budget_bytes: int = 512 * 1024 * 1024):
+                 step_budget_bytes: int = 128 * 1024 * 1024):
         self.machine = machine
         self.tables: DenseTables = tables if tables is not None else machine.compile()
         self.n_streams = int(n_streams)
@@ -47,6 +48,7 @@ class DenseScanner:
         self._blocked_scan = make_blocked_scan(self.V)
         self._blocked_count = make_blocked_count(self.V, self.halo)
         self._seq_scan = make_sequential_scan(self.V)
+        self.stats: dict = {}
         # k-char stepped count path (ops/multistep.py): one gather per k
         # symbols — the gather-rate lever that dominates TPU throughput.
         from ..ops import multistep as ms
@@ -86,44 +88,51 @@ class DenseScanner:
 
     # -- layout ------------------------------------------------------------
 
-    def _layout(self, ids: np.ndarray) -> Tuple[np.ndarray, int, int]:
+    def _layout(self, ids: np.ndarray, head=None) -> Tuple[np.ndarray, int, int]:
         T = len(ids)
         B = self.n_streams
         # Round the per-stream length to a small bucket: bounds padding waste
         # to <128*B symbols while keeping the number of distinct compiled
         # shapes low for steadily-sized inputs.
         L = max(32, -(-(-(-T // B)) // 128) * 128)
-        blocks_tm, nb = blocking.block_time_major(ids, L, self.halo)
+        blocks_tm, nb = blocking.block_time_major(ids, L, self.halo, head=head)
         return blocks_tm, nb, T
 
     # -- scanning ----------------------------------------------------------
 
-    def scan_states(self, signs) -> np.ndarray:
+    def scan_states(self, signs, head=None) -> np.ndarray:
         """states[t] after consuming symbol t, for the whole stream
         (blocked-parallel on device, exact per-position states)."""
         ids = self.encode(signs)
         if len(ids) == 0:
             return np.zeros(0, dtype=np.int32)
-        blocks_tm, _, T = self._layout(ids)
+        t0 = time.perf_counter()
+        blocks_tm, _, T = self._layout(ids, head=head)
         states_tm = np.asarray(self._blocked_scan(self._dflat,
                                                   jnp.asarray(blocks_tm)))
-        return blocking.unblock_states(states_tm, self.halo, T)
+        out = blocking.unblock_states(states_tm, self.halo, T)
+        self._record("scan_states", T, time.perf_counter() - t0)
+        return out
 
-    def count(self, signs) -> int:
+    def count(self, signs, head=None) -> int:
         """Total number of keyword occurrences in the stream (fused count,
         nothing materialized per position; k-char stepped when enabled)."""
         ids = self.encode(signs)
         if len(ids) == 0:
             return 0
+        t0 = time.perf_counter()
         if self._stepped is not None:
-            blocks_tm = self._layout_stepped(ids)
-            return int(self._stepped_count(*self._st_dev,
-                                           jnp.asarray(blocks_tm)))
-        blocks_tm, _, _ = self._layout(ids)
-        return int(self._blocked_count(self._dflat, self._nb_out,
-                                       jnp.asarray(blocks_tm)))
+            blocks_tm = self._layout_stepped(ids, head=head)
+            n = int(self._stepped_count(*self._st_dev,
+                                        jnp.asarray(blocks_tm)))
+        else:
+            blocks_tm, _, _ = self._layout(ids, head=head)
+            n = int(self._blocked_count(self._dflat, self._nb_out,
+                                        jnp.asarray(blocks_tm)))
+        self._record("count", len(ids), time.perf_counter() - t0)
+        return n
 
-    def _layout_stepped(self, ids: np.ndarray) -> np.ndarray:
+    def _layout_stepped(self, ids: np.ndarray, head=None) -> np.ndarray:
         """Block layout for the k-stepped path: halo and block length both
         multiples of k so gram boundaries align."""
         k = self._stepped.k
@@ -131,16 +140,31 @@ class DenseScanner:
         B = self.n_streams
         unit = 128 * k
         L = max(unit, -(-(-(-T // B)) // unit) * unit)
-        blocks_tm, _ = blocking.block_time_major(ids, L, self._halo_sym)
+        blocks_tm, _ = blocking.block_time_major(ids, L, self._halo_sym,
+                                                 head=head)
         return blocks_tm
 
-    def find_matches(self, signs, offset: int = 0) -> List[Tuple[MatchEvent, Any]]:
+    def find_matches(self, signs, offset: int = 0,
+                     head=None) -> List[Tuple[MatchEvent, Any]]:
         """All (event, Match) occurrences, ordered by end position; within a
         position, longest first (reference acm_get_match index order)."""
-        states = self.scan_states(signs)
+        states = self.scan_states(signs, head=head)
         events = decode_matches(states, self.tables, offset=offset)
         return [(ev, self.machine.match_for_state(ev.end_state))
                 for ev in events]
+
+    def _record(self, op: str, n_symbols: int, seconds: float) -> None:
+        self.stats["last_op"] = op
+        self.stats["last_symbols"] = n_symbols
+        self.stats["last_seconds"] = seconds
+        self.stats["last_symbols_per_sec"] = (
+            n_symbols / seconds if seconds > 0 else float("inf"))
+        self.stats["total_symbols"] = (
+            self.stats.get("total_symbols", 0) + n_symbols)
+
+    def session(self) -> "StreamSession":
+        """Open a chunked streaming session (exact across chunk edges)."""
+        return StreamSession(self)
 
     # -- conformance oracle -------------------------------------------------
 
@@ -153,3 +177,67 @@ class DenseScanner:
         _, states = self._seq_scan(self._dflat, jnp.asarray(ids),
                                    jnp.int32(0))
         return np.asarray(states)
+
+
+class StreamSession:
+    """Chunked streaming scan with exact continuity across chunk edges.
+
+    The reference streams one symbol per acm_match call with an O(1) cursor
+    (c:433-448); the TPU equivalent streams a *chunk* per call, carrying the
+    last halo symbols of the previous chunk so matches spanning chunk edges
+    are found exactly. This is also the scan-resume story (SURVEY.md §5):
+    a session checkpoint is (offset, tail ids), both tiny and exact.
+    """
+
+    def __init__(self, scanner: DenseScanner):
+        self.scanner = scanner
+        self.offset = 0
+        self.total = 0
+        h = max(scanner.halo,
+                scanner._halo_sym if scanner._stepped is not None else 0)
+        self._hmax = h
+        self._tail = np.zeros(0, dtype=np.int32)
+
+    def _advance(self, ids: np.ndarray) -> np.ndarray:
+        head = self._tail
+        joined = np.concatenate([self._tail, ids]) if len(self._tail) else ids
+        self._tail = joined[-self._hmax:] if self._hmax else joined[:0]
+        self.offset += len(ids)
+        return head
+
+    def feed_count(self, signs) -> int:
+        """Count matches in the next chunk (including matches spanning the
+        previous chunk edge, attributed to this chunk)."""
+        ids = self.scanner.encode(signs)
+        head = self._advance(ids)
+        n = self.scanner.count(ids, head=head) if len(ids) else 0
+        self.total += n
+        return n
+
+    def feed_matches(self, signs):
+        """Match events in the next chunk, with absolute stream positions."""
+        ids = self.scanner.encode(signs)
+        offset = self.offset
+        head = self._advance(ids)
+        if not len(ids):
+            return []
+        out = self.scanner.find_matches(ids, offset=offset, head=head)
+        self.total += len(out)
+        return out
+
+    # -- resume -----------------------------------------------------------
+
+    def checkpoint(self) -> dict:
+        return {"offset": self.offset, "tail": self._tail.copy(),
+                "total": self.total, "version": self.scanner.version}
+
+    @classmethod
+    def restore(cls, scanner: DenseScanner, state: dict) -> "StreamSession":
+        if state["version"] != scanner.version:
+            raise ValueError("session checkpoint belongs to a different "
+                             "table snapshot")
+        s = cls(scanner)
+        s.offset = int(state["offset"])
+        s._tail = np.asarray(state["tail"], np.int32)
+        s.total = int(state["total"])
+        return s

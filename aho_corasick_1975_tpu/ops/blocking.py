@@ -40,8 +40,8 @@ def choose_block_len(T: int, target_blocks: int = 1024,
     return L
 
 
-def block_time_major(ids: np.ndarray, block_len: int,
-                     halo: int) -> Tuple[np.ndarray, int]:
+def block_time_major(ids: np.ndarray, block_len: int, halo: int,
+                     head: np.ndarray = None) -> Tuple[np.ndarray, int]:
     """Lay out a stream as a time-major [halo+L, B] block matrix.
 
     Block b covers ids[b*L:(b+1)*L], prefixed by the previous H symbols
@@ -51,6 +51,10 @@ def block_time_major(ids: np.ndarray, block_len: int,
     be an end-of-keyword: insert_end on the root is rejected, ref c:345), so
     padding never contributes matches.
 
+    ``head``: optional ids preceding the stream (<= halo of them) — the
+    cross-chunk carry of a StreamSession or a neighbor shard's tail; placed
+    immediately before position 0 in the first block's halo.
+
     Returns (blocks_tm int32 [halo+L, B], n_blocks).
     """
     T = len(ids)
@@ -59,6 +63,9 @@ def block_time_major(ids: np.ndarray, block_len: int,
     B = max(1, -(-T // L))
     padded = np.zeros(B * L + H, dtype=np.int32)
     padded[H:H + T] = ids
+    if head is not None and len(head) and H:
+        h = min(len(head), H)
+        padded[H - h:H] = head[-h:]
     # window b = padded[b*L : b*L + H + L]  (strided view, no copy)
     itemsize = padded.strides[0]
     windows = np.lib.stride_tricks.as_strided(

@@ -1,0 +1,119 @@
+"""Checkpoint/resume and chunked streaming sessions (SURVEY.md §5 —
+capabilities the reference lacks entirely)."""
+
+import io
+import random
+
+import numpy as np
+import pytest
+
+import aho_corasick_1975_tpu as ac
+from aho_corasick_1975_tpu.utils import checkpoint as ckpt
+
+
+def build(seed=0, n=80):
+    rng = random.Random(seed)
+    m = ac.Machine()
+    for i in range(n):
+        m.insert_keyword("".join(rng.choice("abc")
+                                 for _ in range(rng.randint(1, 6))),
+                         value=f"v{i}")
+    return m
+
+
+TABLE_FIELDS = ("delta", "fail", "nb_outputs", "emit_start", "emit_state",
+                "depth", "is_end", "kw_rank", "prev_state", "prev_letter")
+
+
+def test_machine_roundtrip_and_continued_insertion():
+    m = build()
+    buf = io.BytesIO()
+    ckpt.save_machine(m, buf)
+    buf.seek(0)
+    m2 = ckpt.load_machine(buf)
+    t1, t2 = m.compile(), m2.compile()
+    for f in TABLE_FIELDS:
+        np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f), f)
+    assert m2.nb_keywords() == m.nb_keywords()
+    # values survive
+    assert sorted(k.value for k in m2.keywords()) == \
+        sorted(k.value for k in m.keywords())
+    # insertion continues after resume (Meyer state was rebuilt)
+    m.insert_keyword("zzz")
+    m2.insert_keyword("zzz")
+    t1, t2 = m.compile(), m2.compile()
+    for f in TABLE_FIELDS:
+        np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f), f)
+
+
+def test_tables_roundtrip():
+    m = build(3)
+    t = m.compile()
+    buf = io.BytesIO()
+    ckpt.save_tables(t, buf)
+    buf.seek(0)
+    t2 = ckpt.load_tables(buf)
+    for f in TABLE_FIELDS:
+        np.testing.assert_array_equal(getattr(t, f), getattr(t2, f), f)
+    assert t2.version == t.version and t2.n_keywords == t.n_keywords
+
+
+def test_stream_session_exact_across_chunks():
+    rng = random.Random(11)
+    m = build(11)
+    text = "".join(rng.choice("abcx") for _ in range(5000))
+    sc = m.scanner(n_streams=8)
+    whole_count = sc.count(text)
+    whole_events = [(ev.end, match.text())
+                    for ev, match in sc.find_matches(text)]
+
+    # ragged chunk sizes, including tiny ones smaller than the halo
+    sess = sc.session()
+    total = 0
+    events = []
+    pos = 0
+    while pos < len(text):
+        n = rng.choice([1, 2, 7, 100, 333])
+        chunk = text[pos:pos + n]
+        events += [(ev.end, match.text())
+                   for ev, match in sess.feed_matches(chunk)]
+        pos += n
+    assert events == whole_events
+
+    sess2 = sc.session()
+    pos = 0
+    while pos < len(text):
+        n = rng.choice([3, 50, 1000])
+        total += sess2.feed_count(text[pos:pos + n])
+        pos += n
+    assert total == whole_count == sess2.total
+
+
+def test_stream_session_checkpoint_restore():
+    m = build(5)
+    sc = m.scanner(n_streams=4)
+    text = "abcabcabc" * 300
+    mid = len(text) // 2 + 1
+    sess = sc.session()
+    c1 = sess.feed_count(text[:mid])
+    state = sess.checkpoint()
+    # resume in a "new process"
+    from aho_corasick_1975_tpu.models.scanner import StreamSession
+    restored = StreamSession.restore(sc, state)
+    c2 = restored.feed_count(text[mid:])
+    assert c1 + c2 == sc.count(text)
+
+    # version pinning: a session from an old snapshot refuses a new scanner
+    m.insert_keyword("qqq")
+    sc_new = m.scanner(n_streams=4)
+    with pytest.raises(ValueError):
+        StreamSession.restore(sc_new, state)
+
+
+def test_scanner_stats_recorded():
+    m = build(1)
+    sc = m.scanner(n_streams=4)
+    sc.count("abcabc" * 100)
+    assert sc.stats["last_op"] == "count"
+    assert sc.stats["last_symbols"] == 600
+    assert sc.stats["last_symbols_per_sec"] > 0
