@@ -117,15 +117,58 @@ class Machine:
         return prev
 
     def insert_keyword(self, signs, value: Any = None) -> Any:
-        """Convenience: insert a whole keyword (sequence of signs)."""
-        cur = self.initiate()
-        n = 0
-        for s in signs:
-            self.insert_letter_of_keyword(cur, s)
-            n += 1
-        if n == 0:
+        """Convenience: insert a whole keyword (sequence of signs).
+
+        Uses the native bulk path when available (one FFI call per keyword
+        instead of one per sign); semantics identical to the per-sign loop."""
+        ids = [self.vocab.register(s) for s in signs]
+        if not ids:
             raise ValueError("empty keyword (ref c:345)")
+        b = self._b
+        if hasattr(b, "insert_keywords_bulk"):
+            import numpy as np
+            ends, _ = b.insert_keywords_bulk(
+                np.asarray(ids, np.int32),
+                np.asarray([0, len(ids)], np.int64))
+            end = int(ends[0])
+            prev = self._values.get(end)
+            if prev is None and value is not None:
+                self._values[end] = value
+            return prev
+        cur = self.initiate()
+        for letter in ids:
+            cur.state = b.insert_letter(cur.state, letter)
         return self.insert_end_of_keyword(cur, value)
+
+    def insert_keywords(self, keywords, values: Optional[List[Any]] = None
+                        ) -> List[Any]:
+        """Bulk-register many keywords; returns the previous value per
+        keyword (None where fresh), following the duplicate protocol."""
+        id_lists = [[self.vocab.register(s) for s in kw] for kw in keywords]
+        if any(not ids for ids in id_lists):
+            raise ValueError("empty keyword (ref c:345)")
+        b = self._b
+        prevs: List[Any] = []
+        if hasattr(b, "insert_keywords_bulk"):
+            import numpy as np
+            flat = np.asarray([i for ids in id_lists for i in ids], np.int32)
+            offsets = np.zeros(len(id_lists) + 1, np.int64)
+            np.cumsum([len(ids) for ids in id_lists], out=offsets[1:])
+            ends, _ = b.insert_keywords_bulk(flat, offsets)
+            for j, end in enumerate(ends.tolist()):
+                prev = self._values.get(end)
+                val = values[j] if values is not None else None
+                if prev is None and val is not None:
+                    self._values[end] = val
+                prevs.append(prev)
+            return prevs
+        for j, ids in enumerate(id_lists):
+            cur = self.initiate()
+            for letter in ids:
+                cur.state = b.insert_letter(cur.state, letter)
+            prevs.append(self.insert_end_of_keyword(
+                cur, values[j] if values is not None else None))
+        return prevs
 
     # -- streaming match (host path) ---------------------------------------
 
