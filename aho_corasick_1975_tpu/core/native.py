@@ -69,7 +69,7 @@ def load_library():
         lib.acx_max_letter.restype = i32
         lib.acx_max_letter.argtypes = [ct.c_void_p]
         lib.acx_ensure_fail_states.argtypes = [ct.c_void_p]
-        lib.acx_export_arrays.argtypes = [ct.c_void_p] + [p(i32)] * 3 + \
+        lib.acx_export_arrays.argtypes = [ct.c_void_p, i64] + [p(i32)] * 3 + \
             [p(u8)] + [p(i32)] * 3
         lib.acx_emit_delta.argtypes = [ct.c_void_p, i32, p(i32)]
         lib.acx_export_edges.argtypes = [ct.c_void_p, p(i32), p(i32), p(i32)]
@@ -185,7 +185,7 @@ class NativeBuilder:
         depth = np.empty(S, np.int32)
         kw_rank = np.empty(S, np.int32)
         self._lib.acx_export_arrays(
-            self._h, _ptr(fail, ct.c_int32), _ptr(prev_state, ct.c_int32),
+            self._h, S, _ptr(fail, ct.c_int32), _ptr(prev_state, ct.c_int32),
             _ptr(prev_letter, ct.c_int32), _ptr(is_end, ct.c_uint8),
             _ptr(nb_outputs, ct.c_int32), _ptr(depth, ct.c_int32),
             _ptr(kw_rank, ct.c_int32))

@@ -121,6 +121,13 @@ struct Machine {
   int64_t version = 0;
   int32_t max_letter = 0;
   std::mutex token;  // ref machine->token (c:81)
+  // Concurrency model: the reference leaves its match path lock-free
+  // (README.md:364), which is safe there only because its trie nodes are
+  // individually allocated and pointer-stable. Here the edge hash REHASHES
+  // (memory moves), so lock-free readers would crash — matchers therefore
+  // take the machine lock too. Uncontended lock cost is ~20ns per call
+  // (bulk match amortizes it over the whole stream); the TPU scan path
+  // never touches this lock at all (immutable snapshots).
 
   explicit Machine(bool inc) : incremental(inc) { new_state(); }
 
@@ -281,7 +288,7 @@ struct Machine {
   // deferred bulk-insert path. Equivalent to incremental maintenance by
   // the Meyer==AC75 equivalence (tests/test_meyer_equivalence.py); the
   // machine lock is held for the whole bulk call, so no intermediate
-  // state is observable through the API.
+  // state is observable through the API. Caller must hold the lock.
   void rebuild_all() {
     std::vector<int32_t> order;
     depth_order(order);
@@ -302,10 +309,9 @@ struct Machine {
   }
 
   // ref state_fail_state_construct (c:386-417); BFS == depth order here.
-  void ensure_fail_states() {
+  // Caller must hold the lock.
+  void ensure_fail_states_locked() {
     if (incremental || !reconstruct) return;
-    std::lock_guard<std::mutex> lock(token);
-    if (!reconstruct) return;
     std::vector<int32_t> order;
     depth_order(order);
     for (int32_t s : order) {
@@ -314,6 +320,12 @@ struct Machine {
       complete_fail_state(prev_state[s], s, prev_letter[s]);
     }
     reconstruct = 0;
+  }
+
+  void ensure_fail_states() {
+    if (incremental || !reconstruct) return;  // double-checked (ref c:389)
+    std::lock_guard<std::mutex> lock(token);
+    ensure_fail_states_locked();
   }
 };
 
@@ -384,7 +396,8 @@ void acx_insert_keywords(Machine* m, const int32_t* letters,
 
 int64_t acx_match(Machine* m, int32_t state, int32_t letter,
                   int32_t* next_state) {
-  m->ensure_fail_states();
+  std::lock_guard<std::mutex> lock(m->token);
+  m->ensure_fail_states_locked();
   int32_t nxt = m->goto_existing(state, letter);
   *next_state = nxt;
   return m->nb_outputs[nxt];
@@ -394,7 +407,8 @@ int64_t acx_match(Machine* m, int32_t state, int32_t letter,
 // count, leaves the final cursor in *state_io.
 int64_t acx_match_bulk(Machine* m, int32_t* state_io, const int32_t* letters,
                        int64_t n) {
-  m->ensure_fail_states();
+  std::lock_guard<std::mutex> lock(m->token);
+  m->ensure_fail_states_locked();
   int32_t s = *state_io;
   int64_t total = 0;
   for (int64_t i = 0; i < n; ++i) {
@@ -408,6 +422,7 @@ int64_t acx_match_bulk(Machine* m, int32_t* state_io, const int32_t* letters,
 // ref acm_get_match chain walk (c:457-466); returns the index-th
 // end-of-keyword state along the fail chain (kNoState if out of bounds).
 int32_t acx_get_match_state(Machine* m, int32_t state, int64_t index) {
+  std::lock_guard<std::mutex> lock(m->token);
   if (index >= m->nb_outputs[state]) return kNoState;
   int64_t i = 0;
   for (;;) {
@@ -430,11 +445,14 @@ void acx_ensure_fail_states(Machine* m) { m->ensure_fail_states(); }
 // Snapshot of per-state arrays (caller allocates n_states elements each;
 // any pointer may be null to skip). Call acx_ensure_fail_states first in
 // AC75 mode.
-void acx_export_arrays(Machine* m, int32_t* fail, int32_t* prev_state,
-                       int32_t* prev_letter, uint8_t* is_end,
-                       int32_t* nb_outputs, int32_t* depth,
+// n_limit caps the export to the caller's buffer size (state count can
+// grow between sizing the buffers and this call under concurrency).
+void acx_export_arrays(Machine* m, int64_t n_limit, int32_t* fail,
+                       int32_t* prev_state, int32_t* prev_letter,
+                       uint8_t* is_end, int32_t* nb_outputs, int32_t* depth,
                        int32_t* kw_rank) {
-  size_t S = m->n_states_;
+  std::lock_guard<std::mutex> lock(m->token);
+  size_t S = std::min<size_t>(m->n_states_, static_cast<size_t>(n_limit));
   for (size_t s = 0; s < S; ++s) {
     if (fail) fail[s] = (m->fail[s] == kNoState) ? kRoot : m->fail[s];
     if (prev_state) prev_state[s] = m->prev_state[s];
@@ -450,7 +468,8 @@ void acx_export_arrays(Machine* m, int32_t* fail, int32_t* prev_state,
 // delta[s*V + a] = goto(s, a) with fail links resolved. BFS row-copy —
 // fail[s] is always emitted before s.
 void acx_emit_delta(Machine* m, int32_t V, int32_t* delta) {
-  m->ensure_fail_states();
+  std::lock_guard<std::mutex> lock(m->token);
+  m->ensure_fail_states_locked();
   std::vector<int32_t> order, child_start, child_list;
   m->depth_order(order);
   m->build_children(child_start, child_list);

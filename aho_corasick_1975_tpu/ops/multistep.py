@@ -97,6 +97,29 @@ def combine_grams(ids_tm, V: int, k: int):
     return g
 
 
+def stepped_count_core(V: int, k: int, Vk: int, count_bits: int,
+                       halo_steps: int, packed, ids_tm):
+    """Traced body shared by the jitted single-chip stepped count and the
+    shard_map per-device stepped count."""
+    mask = (1 << count_bits) - 1
+    grams = combine_grams(ids_tm, V, k)          # [Lk, B]
+    Lk = grams.shape[0]
+    s0 = grams[0] * 0
+    zero = grams[0] * 0
+
+    def step(carry, tg):
+        t, g = tg
+        s, tot = carry
+        v = packed[s * Vk + g]
+        s2 = v >> count_bits
+        cnt = jnp.where(t >= halo_steps, v & mask, 0)
+        return (s2, tot + cnt), None
+
+    ts = jnp.arange(Lk, dtype=jnp.int32)
+    (_, tot), _ = lax.scan(step, (s0, zero), (ts, grams))
+    return jnp.sum(tot)
+
+
 @lru_cache(maxsize=None)
 def make_stepped_count(V: int, k: int, Vk: int, count_bits: int,
                        halo_steps: int):
@@ -104,26 +127,11 @@ def make_stepped_count(V: int, k: int, Vk: int, count_bits: int,
 
     ids_tm: [L, B] symbol ids with L % k == 0 and the first
     halo_steps * k rows being warm-up halo (excluded from the count)."""
-    mask = (1 << count_bits) - 1
 
     @jax.jit
     def count(packed, ids_tm):
-        grams = combine_grams(ids_tm, V, k)          # [Lk, B]
-        Lk = grams.shape[0]
-        s0 = grams[0] * 0
-        zero = grams[0] * 0
-
-        def step(carry, tg):
-            t, g = tg
-            s, tot = carry
-            v = packed[s * Vk + g]
-            s2 = v >> count_bits
-            cnt = jnp.where(t >= halo_steps, v & mask, 0)
-            return (s2, tot + cnt), None
-
-        ts = jnp.arange(Lk, dtype=jnp.int32)
-        (_, tot), _ = lax.scan(step, (s0, zero), (ts, grams))
-        return jnp.sum(tot)
+        return stepped_count_core(V, k, Vk, count_bits, halo_steps,
+                                  packed, ids_tm)
 
     return count
 

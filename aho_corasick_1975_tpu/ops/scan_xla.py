@@ -122,12 +122,20 @@ def window_layout(ids_ext, n_blocks: int, block_len: int, halo: int):
 
     ids_ext: [halo + n_blocks*block_len] stream with its left halo already
     prepended (zeros at the stream head, or the neighbor shard's tail on
-    multi-chip). Returns the [halo+block_len, n_blocks] time-major windows
-    via one gather."""
+    multi-chip). Returns the [halo+block_len, n_blocks] time-major windows.
+
+    Implementation note: windows[t, b] = ids_ext[b*L + t]. The body rows
+    (t >= halo) are just a reshape+transpose of the stream; the halo rows
+    are H strided slices (stride L). TPU gathers run at ~0.1 G elem/s, so
+    expressing this as one big gather would dominate the whole scan —
+    slices and transposes are bandwidth-bound instead."""
     H, L, B = halo, block_len, n_blocks
-    idx = (jnp.arange(H + L, dtype=jnp.int32)[:, None]
-           + (jnp.arange(B, dtype=jnp.int32) * L)[None, :])
-    return ids_ext[idx]
+    body = ids_ext[H:].reshape(B, L).T                      # [L, B]
+    if H == 0:
+        return body
+    halo_rows = [lax.slice(ids_ext, (t,), (t + (B - 1) * L + 1,), (L,))
+                 for t in range(H)]                          # H x [B]
+    return jnp.concatenate([jnp.stack(halo_rows, axis=0), body], axis=0)
 
 
 @lru_cache(maxsize=None)

@@ -26,16 +26,24 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import multistep as ms
 from ..ops.scan_xla import blocked_count_core, window_layout
 from .mesh import DATA_AXIS
 
 
 def _right_shift_halo(ids_local, halo: int, axis_name: str, n_dev: int):
     """Each shard sends its last ``halo`` symbols to its right neighbor.
-    Shard 0 receives zeros (OOV pad — correct for the stream head)."""
+    Shard 0 receives zeros (OOV pad — correct for the stream head).
+
+    Requires shard length >= halo (enforced by ShardedScanner padding) so
+    one neighbor's tail always covers the warm-up; a shorter tail is
+    OOV-padded at its head (only reachable for degenerate tiny streams)."""
     if halo == 0:
         return ids_local[:0]
     tail = ids_local[-halo:]
+    if tail.shape[0] < halo:
+        tail = jnp.concatenate(
+            [jnp.zeros((halo - tail.shape[0],), tail.dtype), tail])
     if n_dev == 1:
         return jnp.zeros_like(tail)
     # ppermute: devices missing as a destination receive zeros.
@@ -69,6 +77,36 @@ def make_sharded_count(mesh: Mesh, V: int, halo: int,
 
     fn = jax.shard_map(local_count, mesh=mesh,
                        in_specs=(P(), P(), P(axis_name)),
+                       out_specs=P())
+    return jax.jit(fn)
+
+
+def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
+                               count_bits: int, halo_steps: int,
+                               n_streams_per_device: int = 256,
+                               axis_name: str = DATA_AXIS):
+    """k-gram packed count over the mesh (the fast count path, sharded).
+    Table replicated; corpus sharded; halo = halo_steps*k symbols."""
+    n_dev = mesh.shape[axis_name]
+    halo_sym = halo_steps * k
+
+    def local_count(packed, ids_local):
+        ids_local = ids_local.reshape(-1)
+        Tl = ids_local.shape[0]
+        left = _right_shift_halo(ids_local, halo_sym, axis_name, n_dev)
+        unit = 64 * k
+        B = min(n_streams_per_device, max(1, Tl // unit))
+        L = -(-(-(-Tl // B)) // unit) * unit
+        pad = B * L - Tl
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
+        win = window_layout(ext, B, L, halo_sym)
+        tot = ms.stepped_count_core(V, k, Vk, count_bits, halo_steps,
+                                    packed, win)
+        return lax.psum(tot, axis_name)
+
+    fn = jax.shard_map(local_count, mesh=mesh,
+                       in_specs=(P(), P(axis_name)),
                        out_specs=P())
     return jax.jit(fn)
 
@@ -116,7 +154,9 @@ class ShardedScanner:
     models.scanner.DenseScanner."""
 
     def __init__(self, machine, mesh: Mesh, n_streams_per_device: int = 256,
-                 axis_name: str = DATA_AXIS, tables=None):
+                 axis_name: str = DATA_AXIS, tables=None,
+                 step_k: "int | str" = "auto",
+                 step_budget_bytes: int = 128 * 1024 * 1024):
         self.machine = machine
         self.mesh = mesh
         self.axis_name = axis_name
@@ -134,10 +174,29 @@ class ShardedScanner:
                                          n_streams_per_device, axis_name)
         self._scan = make_sharded_scan_states(mesh, self.V, self.halo,
                                               n_streams_per_device, axis_name)
+        # k-gram packed fast count (mirrors DenseScanner.step_k)
+        if step_k == "auto":
+            self.step_k = ms.choose_k(self.tables.n_states, self.V,
+                                      step_budget_bytes)
+        else:
+            self.step_k = max(1, int(step_k))
+        self._stepped = None
+        if self.step_k > 1:
+            st = ms.build_stepped(self.tables, self.step_k)
+            if st.packed is not None:
+                self._stepped = st
+                self._halo_steps = -(-self.halo // st.k)
+                self._st_packed = jax.device_put(jnp.asarray(st.packed), repl)
+                self._stepped_count = make_sharded_stepped_count(
+                    mesh, st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
+                    n_streams_per_device, axis_name)
 
     def _pad_and_place(self, ids: np.ndarray):
         T = len(ids)
-        Tp = -(-T // self.n_dev) * self.n_dev
+        halo_sym = (self._halo_steps * self._stepped.k
+                    if self._stepped is not None else 0)
+        min_shard = max(self.halo, halo_sym, 1)
+        Tp = max(-(-T // self.n_dev), min_shard) * self.n_dev
         if Tp != T:
             ids = np.concatenate([ids, np.zeros(Tp - T, np.int32)])
         return jax.device_put(jnp.asarray(ids), self._shard), T
@@ -149,6 +208,8 @@ class ShardedScanner:
         if len(ids) == 0:
             return 0
         placed, _ = self._pad_and_place(ids)
+        if self._stepped is not None:
+            return int(self._stepped_count(self._st_packed, placed))
         return int(self._count(self._dflat, self._nb_out, placed))
 
     def scan_states(self, signs) -> np.ndarray:
