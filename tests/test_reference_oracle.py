@@ -1,0 +1,117 @@
+"""Differential conformance against the COMPILED REFERENCE.
+
+The reference C sources (mounted read-only) are compiled unmodified against
+our minimal minimaps shim (tests/reference_oracle/map.h|map_shim.c) in both
+algorithm modes, then:
+
+* the README demo binary must print the golden line;
+* acm_print / acm_foreach_keyword output must match our dump byte-for-byte;
+* randomized dictionaries + texts run through the reference's streaming
+  match and through our host + device paths must yield the identical
+  (end, index, keyword) event stream.
+
+Skipped when the reference mount or a C compiler is unavailable.
+"""
+
+import io
+import os
+import random
+import shutil
+import subprocess
+
+import pytest
+
+import aho_corasick_1975_tpu as ac
+
+REF = "/root/reference"
+ORACLE_DIR = os.path.join(os.path.dirname(__file__), "reference_oracle")
+BUILD = "/tmp/ac_ref_oracle_build"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(os.path.join(REF, "aho_corasick.c"))
+         and shutil.which("gcc")),
+    reason="reference sources or gcc unavailable")
+
+
+def build(name, sources, mode=""):
+    os.makedirs(BUILD, exist_ok=True)
+    out = os.path.join(BUILD, name)
+    if not os.path.exists(out):
+        cmd = (["gcc", "-O2", "-std=c11"] + ([mode] if mode else [])
+               + [f"-I{ORACLE_DIR}", f"-I{REF}",
+                  os.path.join(REF, "aho_corasick.c")]
+               + sources + [os.path.join(ORACLE_DIR, "map_shim.c"),
+                            "-o", out])
+        subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+@pytest.fixture(scope="module", params=["", "-DNMEYER_85"],
+                ids=["meyer85", "ac75"])
+def mode(request):
+    return request.param
+
+
+def test_reference_demo_golden(mode):
+    exe = build(f"ref_test{mode}", [os.path.join(REF, "examples/test.c")],
+                mode)
+    out = subprocess.run([exe], capture_output=True, text=True, check=True)
+    assert out.stdout.splitlines()[1] == \
+        " 6:he 5:she 6:hers 12:he 21:his 38:he 37:she 56:he 56:hers"
+
+
+def test_print_and_enumeration_parity(mode):
+    exe = build(f"print_demo{mode}",
+                [os.path.join(ORACLE_DIR, "print_demo.c")], mode)
+    ref_out = subprocess.run([exe], capture_output=True, text=True,
+                             check=True).stdout
+
+    m = ac.Machine(incremental=(mode == ""))
+    for w in ["he", "she", "his", "hers"]:
+        m.insert_keyword(w)
+    ours = [f"nb={m.nb_keywords()}"]
+    ours += [f"kw:{k.text()}" for k in m.keywords()]
+    buf = io.StringIO()
+    m.print(buf)
+    got = "\n".join(ours) + "\n" + buf.getvalue()
+    assert got == ref_out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_streaming_differential_fuzz(mode, seed, tmp_path):
+    exe = build(f"stream_oracle{mode}",
+                [os.path.join(ORACLE_DIR, "stream_oracle.c")], mode)
+    rng = random.Random(1000 + seed)
+    alphabet = "ab" if seed % 2 else "abcd"
+    kws = sorted({"".join(rng.choice(alphabet)
+                          for _ in range(rng.randint(1, 7)))
+                  for _ in range(60)})
+    rng.shuffle(kws)
+    text = "".join(rng.choice(alphabet + "x") for _ in range(3000))
+    dict_file = tmp_path / "dict.txt"
+    text_file = tmp_path / "text.txt"
+    dict_file.write_text("\n".join(kws) + "\n")
+    text_file.write_text(text)
+
+    ref = subprocess.run([exe, str(dict_file), str(text_file)],
+                         capture_output=True, text=True, check=True)
+    ref_events = ref.stdout.splitlines()
+
+    m = ac.Machine(incremental=(mode == ""))
+    for kw in kws:
+        m.insert_keyword(kw)
+
+    # host streaming path
+    cur = m.initiate()
+    host_events = []
+    for i, ch in enumerate(text):
+        for j in range(m.match(cur, ch)):
+            host_events.append(f"{i}:{j}:{m.get_match(cur, j).text()}")
+    assert host_events == ref_events
+
+    # device dense path
+    sc = m.scanner(n_streams=8)
+    dev_events = [f"{ev.end}:{ev.index}:{match.text()}"
+                  for ev, match in sc.find_matches(text)]
+    assert dev_events == ref_events
+    assert sc.count(text) == len(ref_events)
