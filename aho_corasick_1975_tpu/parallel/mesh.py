@@ -35,6 +35,30 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: initialize jax.distributed so jax.devices()
+    spans the whole pod slice and shard_map collectives ride ICI within a
+    slice / DCN across hosts. On single-host or TPU-pod-with-metadata
+    setups all arguments are auto-detected; call once before make_mesh().
+
+    The scan path needs no further multi-host awareness: shard_map +
+    NamedSharding place data by device order, the halo ppermute touches
+    only neighbor devices, and psum is a scalar — see SURVEY.md §2c.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
