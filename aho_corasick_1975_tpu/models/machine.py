@@ -179,6 +179,26 @@ class Machine:
         cursor.state, nb = self._b.match(cursor.state, letter)
         return nb
 
+    def match_stream(self, cursor: Cursor, signs) -> int:
+        """Advance the cursor through a whole chunk of signs and return the
+        total number of matches — the host streaming path at native speed
+        (one FFI call per chunk instead of one per sign). Equivalent to
+        summing acm_match over the chunk (ref c:433-448); per-position
+        events need the device scanner or the per-sign loop."""
+        import numpy as np
+        ids = np.asarray(self.vocab.lookup_many(signs), np.int32)
+        b = self._b
+        if hasattr(b, "match_bulk"):
+            cursor.state, total = b.match_bulk(cursor.state, ids)
+            return total
+        total = 0
+        s = cursor.state
+        for letter in ids.tolist():
+            s, n = b.match(s, int(letter))
+            total += n
+        cursor.state = s
+        return total
+
     def get_match(self, cursor: Cursor, index: int) -> Match:
         """index-th match at the current cursor position, index 0 = longest
         (ref acm_get_match c:450-482)."""

@@ -44,3 +44,27 @@ def test_bulk_insert_duplicate_value_protocol():
     by_kw = {k.text(): k.value for k in m.keywords()}
     assert by_kw == {"ab": 1, "cd": 2}
     assert m.nb_keywords() == 2
+
+
+def test_match_stream_equals_per_sign():
+    import random
+    rng = random.Random(4)
+    m = ac.Machine()
+    for _ in range(50):
+        m.insert_keyword("".join(rng.choice("ab")
+                                 for _ in range(rng.randint(1, 5))))
+    text = "".join(rng.choice("abx") for _ in range(3000))
+    c1, c2 = m.initiate(), m.initiate()
+    per_sign = sum(m.match(c1, ch) for ch in text)
+    # chunked streaming, ragged chunks
+    total = 0
+    pos = 0
+    while pos < len(text):
+        n = rng.choice([1, 7, 100])
+        total += m.match_stream(c2, text[pos:pos + n])
+        pos += n
+    assert total == per_sign and c1.state == c2.state
+    # cursor remains usable for get_match after a chunk ending in a match
+    c3 = m.initiate()
+    m.match_stream(c3, text)
+    assert c3.state == c1.state
