@@ -24,7 +24,7 @@ REFERENCE_CORPUS = "/root/reference/examples/mrs_dalloway.txt"
 BASELINE_BYTES_PER_SEC = 376_617 / 0.12  # reference README.md:367
 N_KEYWORDS = 1000
 TARGET_BYTES = 64 * 1024 * 1024
-N_STREAMS = 2048
+N_STREAMS = 16384
 REPS = 5
 
 

@@ -1,0 +1,160 @@
+"""BASELINE.json configs 3-5, runnable end to end.
+
+3. 10k-keyword dictionary over a synthetic ASCII corpus, single chip
+   (dense-table gather throughput). Corpus size scales with AC_BENCH_MB
+   (default 100 MB on TPU, 8 MB elsewhere).
+4. Unicode multilingual keywords (50k) over a codepoint corpus, matched
+   byte-wise via UTF-8 (the scalable representation for open alphabets).
+5. Meyer incremental: +1k keywords online onto a live 10k automaton, then
+   a sharded corpus count with psum reduction (virtual CPU mesh when only
+   one chip is present; structure identical on a pod).
+
+Each config prints one JSON line. Run: python benchmarks/bench_configs.py [3|4|5]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def config3():
+    import jax
+    import jax.numpy as jnp
+
+    import aho_corasick_1975_tpu as ac
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    mb = int(os.environ.get("AC_BENCH_MB", 100 if on_tpu else 8))
+    rng = np.random.default_rng(0)
+    m = ac.Machine()
+    for c in range(26):
+        m.vocab.register(chr(ord("a") + c))
+    kws = rng.integers(1, 27, (10_000, 8)).astype(np.int32)
+    m._b.insert_keywords_bulk(kws.reshape(-1),
+                              np.arange(10_001, dtype=np.int64) * 8)
+    sc = m.scanner(n_streams=16384, step_budget_bytes=512 << 20)
+    ids = rng.integers(1, 27, mb * 1_000_000).astype(np.int32)
+    if sc._stepped is not None:
+        blocks = jnp.asarray(sc._layout_stepped(ids))
+        fn, tabs = sc._stepped_count, sc._st_dev
+    else:
+        blocks = jnp.asarray(sc._layout(ids)[0])
+        fn, tabs = sc._blocked_count, (sc._dflat, sc._nb_out)
+    total = int(fn(*tabs, blocks))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = int(fn(*tabs, blocks))
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({
+        "config": 3, "corpus_mb": mb, "n_states": m.n_states,
+        "step_k": sc.step_k, "matches": total,
+        "bytes_per_sec": round(len(ids) / best),
+        "device": str(jax.devices()[0])}))
+
+
+def config4():
+    import aho_corasick_1975_tpu as ac
+    from aho_corasick_1975_tpu.models.bytes_machine import ByteMachine
+
+    rng = np.random.default_rng(1)
+    ranges = [(0x0041, 0x007A), (0x0391, 0x03C9), (0x0410, 0x044F),
+              (0x4E00, 0x9FFF), (0x3041, 0x30FF), (0x0590, 0x05EA)]
+    m = ByteMachine()
+    words = []
+    for _ in range(50_000):
+        lo, hi = ranges[rng.integers(0, len(ranges))]
+        w = "".join(chr(int(c)) for c in rng.integers(lo, hi, rng.integers(2, 6)))
+        words.append(w)
+    t0 = time.perf_counter()
+    encoded = [w.encode("utf-8") for w in words]
+    flat = np.frombuffer(b"".join(encoded), np.uint8).astype(np.int32) + 1
+    offsets = np.zeros(len(encoded) + 1, np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    m._b.insert_keywords_bulk(flat, offsets)
+    build_s = time.perf_counter() - t0
+    corpus = "".join(
+        words[rng.integers(0, len(words))] if rng.random() < 0.05
+        else chr(int(rng.integers(0x4E00, 0x9FFF)))
+        for _ in range(300_000)).encode("utf-8")
+    sc = m.scanner(n_streams=4096)
+    total = sc.count(corpus)
+    t0 = time.perf_counter()
+    total = sc.count(corpus)
+    scan_s = time.perf_counter() - t0
+    print(json.dumps({
+        "config": 4, "keywords": m.nb_keywords(), "n_states": m.n_states,
+        "vocab_width": m.compile().vocab_size, "corpus_bytes": len(corpus),
+        "build_seconds": round(build_s, 2), "matches": total,
+        "scan_bytes_per_sec": round(len(corpus) / scan_s)}))
+
+
+def config5():
+    if "--xla_force_host_platform_device_count" not in os.environ.get(
+            "XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+    import jax
+    if (jax.config.jax_platforms or "").strip() not in ("cpu", "tpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    if jax.local_device_count() < 2:
+        jax.config.update("jax_platforms", "cpu")
+
+    import aho_corasick_1975_tpu as ac
+    from aho_corasick_1975_tpu.parallel.mesh import make_mesh
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+
+    rng = np.random.default_rng(2)
+    m = ac.Machine(incremental=True)
+    for c in range(26):
+        m.vocab.register(chr(ord("a") + c))
+    kws = rng.integers(1, 27, (10_000, 7)).astype(np.int32)
+    m._b.insert_keywords_bulk(kws.reshape(-1),
+                              np.arange(10_001, dtype=np.int64) * 7)
+    n_dev = min(8, jax.local_device_count())
+    mesh = make_mesh(n_dev)
+    ids = rng.integers(1, 27, 8_000_000).astype(np.int32)
+
+    sc1 = ShardedScanner(m, mesh)
+    before = sc1.count(ids)
+
+    # +1k keywords online (Meyer incremental, per-edge maintenance)
+    t0 = time.perf_counter()
+    more = rng.integers(1, 27, (1_000, 7)).astype(np.int32)
+    for row in more:
+        s = 0
+        for letter in row.tolist():
+            s = m._b.insert_letter(s, int(letter))
+        m._b.insert_end(s)
+    online_s = time.perf_counter() - t0
+
+    sc2 = ShardedScanner(m, mesh)
+    after = sc2.count(ids)
+    # oracle: native host streaming over the same corpus
+    _, host_total = m._b.match_bulk(0, ids)
+    print(json.dumps({
+        "config": 5, "mesh_devices": n_dev,
+        "keywords_before": 10_000, "online_insert_seconds": round(online_s, 3),
+        "matches_before": before, "matches_after": after,
+        "host_oracle_after": host_total, "agree": after == host_total}))
+    assert after == host_total
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["3", "4", "5"]
+    if len(which) == 1:
+        {"3": config3, "4": config4, "5": config5}[which[0]]()
+    else:
+        # each config in its own process: config 5 must pick its platform
+        # (virtual CPU mesh) before any backend initialization
+        import subprocess
+        for w in which:
+            subprocess.run([sys.executable, __file__, w], check=True)
