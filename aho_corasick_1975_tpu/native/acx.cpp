@@ -49,25 +49,29 @@ inline uint64_t mix64(uint64_t x) {  // splitmix64 finalizer
 }
 
 struct EdgeMap {
-  std::vector<uint64_t> keys;
-  std::vector<int32_t> vals;
+  // 16-byte key+value slots: one cache line touch per probe (split key/val
+  // arrays cost a second miss per lookup — measurable on multi-million-
+  // state builds).
+  struct Slot {
+    uint64_t key;
+    int32_t val;
+    int32_t pad;
+  };
+  std::vector<Slot> slots;
   size_t count = 0;
   size_t mask = 0;
 
   EdgeMap() { rehash(1 << 16); }
 
   void rehash(size_t cap) {
-    std::vector<uint64_t> old_keys = std::move(keys);
-    std::vector<int32_t> old_vals = std::move(vals);
-    keys.assign(cap, kEmptyKey);
-    vals.assign(cap, 0);
+    std::vector<Slot> old = std::move(slots);
+    slots.assign(cap, Slot{kEmptyKey, 0, 0});
     mask = cap - 1;
-    for (size_t i = 0; i < old_keys.size(); ++i) {
-      if (old_keys[i] == kEmptyKey) continue;
-      size_t j = mix64(old_keys[i]) & mask;
-      while (keys[j] != kEmptyKey) j = (j + 1) & mask;
-      keys[j] = old_keys[i];
-      vals[j] = old_vals[i];
+    for (const Slot& s : old) {
+      if (s.key == kEmptyKey) continue;
+      size_t j = mix64(s.key) & mask;
+      while (slots[j].key != kEmptyKey) j = (j + 1) & mask;
+      slots[j] = s;
     }
   }
 
@@ -75,8 +79,9 @@ struct EdgeMap {
     uint64_t k = edge_key(state, letter);
     size_t j = mix64(k) & mask;
     for (;;) {
-      if (keys[j] == k) return vals[j];
-      if (keys[j] == kEmptyKey) return -1;
+      const Slot& s = slots[j];
+      if (s.key == k) return s.val;
+      if (s.key == kEmptyKey) return -1;
       j = (j + 1) & mask;
     }
   }
@@ -85,9 +90,8 @@ struct EdgeMap {
     if ((count + 1) * 10 >= (mask + 1) * 7) rehash((mask + 1) * 2);
     uint64_t k = edge_key(state, letter);
     size_t j = mix64(k) & mask;
-    while (keys[j] != kEmptyKey) j = (j + 1) & mask;
-    keys[j] = k;
-    vals[j] = child;
+    while (slots[j].key != kEmptyKey) j = (j + 1) & mask;
+    slots[j] = Slot{k, child, 0};
     ++count;
   }
 

@@ -42,10 +42,12 @@ def main():
     from aho_corasick_1975_tpu.core.native import NativeBuilder
     for tag, letters in (("sorted", sorted_letters),
                          ("random", random_letters)):
-        b = NativeBuilder(True)
-        t0 = time.perf_counter()
-        ends, fresh = b.insert_keywords_bulk(letters, offsets)
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(3):   # best-of-3: the host VM is shared/noisy
+            b = NativeBuilder(True)
+            t0 = time.perf_counter()
+            ends, fresh = b.insert_keywords_bulk(letters, offsets)
+            dt = min(dt, time.perf_counter() - t0)
         results[f"native_bulk_meyer_{tag}"] = {
             "seconds": round(dt, 3),
             "chars_per_sec": round(total_chars / dt),
