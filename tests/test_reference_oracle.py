@@ -115,3 +115,39 @@ def test_streaming_differential_fuzz(mode, seed, tmp_path):
                   for ev, match in sc.find_matches(text)]
     assert dev_events == ref_events
     assert sc.count(text) == len(ref_events)
+
+
+def test_mrs_dalloway_differential(mode, tmp_path):
+    """Real-corpus differential: a 300-word English dictionary over the
+    first 60KB of the normalized reference corpus — reference events vs
+    host streaming vs device scan."""
+    import re
+    corpus_path = os.path.join(REF, "examples/mrs_dalloway.txt")
+    if not os.path.exists(corpus_path):
+        pytest.skip("corpus not mounted")
+    raw = open(corpus_path, errors="replace").read()
+    text = re.sub(r"[^a-z]", " ", raw.lower())[:60_000]
+    freq = {}
+    for w in text.split():
+        freq[w] = freq.get(w, 0) + 1
+    kws = [" " + w + " " for w in
+           sorted(freq, key=lambda w: (-freq[w], w))[:300]]
+
+    exe = build(f"stream_oracle{mode}",
+                [os.path.join(ORACLE_DIR, "stream_oracle.c")], mode)
+    dict_file = tmp_path / "dict.txt"
+    text_file = tmp_path / "text.txt"
+    dict_file.write_text("\n".join(kws) + "\n")
+    text_file.write_text(text)
+    ref = subprocess.run([exe, str(dict_file), str(text_file)],
+                         capture_output=True, text=True, check=True)
+    ref_events = ref.stdout.splitlines()
+    assert len(ref_events) > 1000  # the corpus really matches a lot
+
+    m = ac.Machine(incremental=(mode == ""))
+    for kw in kws:
+        m.insert_keyword(kw)
+    sc = m.scanner(n_streams=64)
+    dev_events = [f"{ev.end}:{ev.index}:{match.text()}"
+                  for ev, match in sc.find_matches(text)]
+    assert dev_events == ref_events
