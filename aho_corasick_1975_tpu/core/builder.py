@@ -212,6 +212,10 @@ class Builder:
 
     # -- failure construction, AC75 mode (Algorithm 3) ---------------------
 
+    def set_version(self, v: int) -> None:
+        """Restore the snapshot-version counter (checkpoint replay)."""
+        self.version = int(v)
+
     def ensure_fail_states(self) -> None:
         """AC75 lazy full reconstruction (ref state_fail_state_construct
         c:386-417), double-checked on the dirty counter."""

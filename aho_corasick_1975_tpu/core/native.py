@@ -72,7 +72,11 @@ def load_library():
         lib.acx_export_arrays.argtypes = [ct.c_void_p, i64] + [p(i32)] * 3 + \
             [p(u8)] + [p(i32)] * 3
         lib.acx_emit_delta.argtypes = [ct.c_void_p, i32, p(i32)]
-        lib.acx_export_edges.argtypes = [ct.c_void_p, p(i32), p(i32), p(i32)]
+        lib.acx_export_edges.argtypes = [ct.c_void_p, i64, p(i32), p(i32),
+                                         p(i32)]
+        lib.acx_set_version.argtypes = [ct.c_void_p, i64]
+        lib.acx_max_letter_id.restype = i32
+        lib.acx_max_letter_id.argtypes = []
         _lib = lib
         return lib
 
@@ -86,6 +90,7 @@ class NativeBuilder:
 
     def __init__(self, incremental: bool = True):
         self._lib = load_library()
+        self._max_letter_id = int(self._lib.acx_max_letter_id())
         self._h = ct.c_void_p(self._lib.acx_create(1 if incremental else 0))
         self.incremental = incremental
         self._snap_version = -1
@@ -126,6 +131,11 @@ class NativeBuilder:
     def insert_letter(self, state: int, letter: int) -> int:
         if letter <= 0:
             raise ValueError("letter ids must be >= 1 (0 is reserved for OOV)")
+        if letter > self._max_letter_id:
+            raise ValueError(
+                f"letter id {letter} exceeds the native core's limit "
+                f"({self._max_letter_id}); use backend='python' or a "
+                f"byte-level encoding (ByteMachine) for alphabets this wide")
         return int(self._lib.acx_insert_letter(self._h, state, letter))
 
     def insert_end(self, state: int) -> bool:
@@ -139,6 +149,13 @@ class NativeBuilder:
         letters: int32 concatenated ids; offsets: int64 [n+1]."""
         letters = np.ascontiguousarray(letters, np.int32)
         offsets = np.ascontiguousarray(offsets, np.int64)
+        if letters.size and int(letters.max()) > self._max_letter_id:
+            raise ValueError(
+                f"letter id {int(letters.max())} exceeds the native core's "
+                f"limit ({self._max_letter_id}); use backend='python' or a "
+                f"byte-level encoding (ByteMachine)")
+        if letters.size and int(letters.min()) <= 0:
+            raise ValueError("letter ids must be >= 1 (0 is reserved for OOV)")
         n = len(offsets) - 1
         ends = np.empty(n, np.int32)
         fresh = np.empty(n, np.int8)
@@ -168,6 +185,10 @@ class NativeBuilder:
 
     def ensure_fail_states(self) -> None:
         self._lib.acx_ensure_fail_states(self._h)
+
+    def set_version(self, v: int) -> None:
+        self._lib.acx_set_version(self._h, int(v))
+        self._snap_version = -1
 
     # -- array snapshots ----------------------------------------------------
 
@@ -241,8 +262,8 @@ class NativeBuilder:
             letters = np.empty(E, np.int32)
             children = np.empty(E, np.int32)
             self._lib.acx_export_edges(
-                self._h, _ptr(parents, ct.c_int32), _ptr(letters, ct.c_int32),
-                _ptr(children, ct.c_int32))
+                self._h, E, _ptr(parents, ct.c_int32),
+                _ptr(letters, ct.c_int32), _ptr(children, ct.c_int32))
             trans: List[dict] = [{} for _ in range(S)]
             for pa, le, ch in zip(parents.tolist(), letters.tolist(),
                                   children.tolist()):

@@ -66,26 +66,10 @@ class ByteMachine(Machine):
                        value=None):
         if isinstance(data, str):
             data = data.encode("utf-8")
-        cur = self.initiate()
         arr = np.frombuffer(bytes(data), np.uint8)
-        if len(arr) == 0:
-            raise ValueError("empty keyword (ref c:345)")
-        ids = arr.astype(np.int32) + 1
-        b = self._b
-        if hasattr(b, "insert_keywords_bulk"):
-            offsets = np.asarray([0, len(ids)], np.int64)
-            ends, _ = b.insert_keywords_bulk(ids, offsets)
-            end = int(ends[0])
-        else:
-            s = 0
-            for letter in ids.tolist():
-                s = b.insert_letter(s, int(letter))
-            b.insert_end(s)
-            end = s
-        prev = self._values.get(end)
-        if prev is None and value is not None:
-            self._values[end] = value
-        return prev
+        # delegate: Machine.insert_keyword owns the bulk path and the
+        # duplicate-value protocol; _ByteVocab.register is byte -> byte+1
+        return super().insert_keyword(arr.tolist(), value)
 
     def match_bytes(self, match) -> bytes:
         """Render a Match's letters back into bytes."""

@@ -27,8 +27,21 @@ from ..ops.scan_xla import (make_blocked_count, make_blocked_scan,
                             make_sequential_scan)
 
 
-def _next_pow2(n: int) -> int:
-    return 1 << max(0, (n - 1)).bit_length()
+def encode_signs(machine, signs, V: int) -> np.ndarray:
+    """Shared encode for scanners: map signs to dense letter ids.
+
+    An int32 ndarray is accepted as PRE-ENCODED letter ids (the zero-copy
+    fast path used by benchmarks and internal re-entry) — validated to be
+    within [0, V) so a raw integer-sign array passed by mistake fails
+    loudly instead of scanning garbage."""
+    if isinstance(signs, np.ndarray) and signs.dtype == np.int32:
+        if signs.size and (int(signs.max()) >= V or int(signs.min()) < 0):
+            raise ValueError(
+                "int32 arrays are treated as pre-encoded letter ids, but "
+                f"values fall outside [0, {V}); for integer-sign alphabets "
+                "encode via machine.vocab.lookup_many(signs) first")
+        return signs
+    return np.asarray(machine.vocab.lookup_many(signs), dtype=np.int32)
 
 
 class DenseScanner:
@@ -60,6 +73,20 @@ class DenseScanner:
         self._stepped = None
         if self.step_k > 1:
             st = ms.build_stepped(self.tables, self.step_k)
+            # the unpacked fallback needs two tables (8 bytes/entry);
+            # degrade k until the actual footprint fits the budget
+            while (st.packed is None and self.step_k > 1 and
+                   self.tables.n_states * (self.V ** st.k) * 8
+                   > step_budget_bytes):
+                self.step_k -= 1
+                st = ms.build_stepped(self.tables, self.step_k) \
+                    if self.step_k > 1 else None
+                if st is None:
+                    break
+            if st is None or self.step_k <= 1:
+                self.step_k = max(1, self.step_k)
+                self._stepped = None
+                return
             self._stepped = st
             self._halo_steps = -(-self.halo // st.k)
             self._halo_sym = self._halo_steps * st.k
@@ -80,11 +107,9 @@ class DenseScanner:
     # -- encoding ----------------------------------------------------------
 
     def encode(self, signs: Sequence[Any]) -> np.ndarray:
-        """Map a stream of signs to dense letter ids (OOV -> 0)."""
-        if isinstance(signs, np.ndarray) and signs.dtype == np.int32:
-            return signs
-        return np.asarray(self.machine.vocab.lookup_many(signs),
-                          dtype=np.int32)
+        """Map a stream of signs to dense letter ids (OOV -> 0). int32
+        arrays pass through as pre-encoded ids (bounds-checked)."""
+        return encode_signs(self.machine, signs, self.V)
 
     # -- layout ------------------------------------------------------------
 
@@ -123,12 +148,15 @@ class DenseScanner:
         t0 = time.perf_counter()
         if self._stepped is not None:
             blocks_tm = self._layout_stepped(ids, head=head)
-            n = int(self._stepped_count(*self._st_dev,
-                                        jnp.asarray(blocks_tm)))
+            per_stream = self._stepped_count(*self._st_dev,
+                                             jnp.asarray(blocks_tm))
         else:
             blocks_tm, _, _ = self._layout(ids, head=head)
-            n = int(self._blocked_count(self._dflat, self._nb_out,
-                                        jnp.asarray(blocks_tm)))
+            per_stream = self._blocked_count(self._dflat, self._nb_out,
+                                             jnp.asarray(blocks_tm))
+        # int64 grand total on host: per-stream totals are int32-safe but
+        # their sum can exceed 2^31 on pod-scale corpora.
+        n = int(np.asarray(per_stream).sum(dtype=np.int64))
         self._record("count", len(ids), time.perf_counter() - t0)
         return n
 

@@ -498,15 +498,29 @@ int64_t acx_n_edges(const Machine* m) {
   return static_cast<int64_t>(m->n_states_) - 1;
 }
 
-void acx_export_edges(Machine* m, int32_t* parents, int32_t* letters,
-                      int32_t* children) {
+// n_limit caps the export to the caller's buffer size (see
+// acx_export_arrays).
+void acx_export_edges(Machine* m, int64_t n_limit, int32_t* parents,
+                      int32_t* letters, int32_t* children) {
+  std::lock_guard<std::mutex> lock(m->token);
   // Every non-root state has exactly one incoming edge.
+  size_t S = std::min<size_t>(m->n_states_,
+                              static_cast<size_t>(n_limit) + 1);
   int64_t e = 0;
-  for (size_t s = 1; s < m->n_states_; ++s, ++e) {
+  for (size_t s = 1; s < S; ++s, ++e) {
     parents[e] = m->prev_state[s];
     letters[e] = m->prev_letter[s];
     children[e] = static_cast<int32_t>(s);
   }
 }
+
+void acx_set_version(Machine* m, int64_t v) {
+  std::lock_guard<std::mutex> lock(m->token);
+  m->version = v;
+}
+
+// Largest representable dense letter id (edge_key packs letters in
+// kLetterBits bits; callers must reject larger ids).
+int32_t acx_max_letter_id(void) { return (1 << kLetterBits) - 1; }
 
 }  // extern "C"

@@ -29,17 +29,6 @@ import numpy as np
 OOV = 0
 
 
-def choose_block_len(T: int, target_blocks: int = 1024,
-                     min_block: int = 64) -> int:
-    """Pick a per-block length aiming for ``target_blocks`` parallel streams.
-
-    More streams = wider per-step gathers (better VPU utilization); longer
-    blocks = lower halo overhead. 1024 streams saturates the VPU lanes while
-    keeping halo waste small for typical keyword lengths."""
-    L = max(min_block, -(-T // target_blocks))
-    return L
-
-
 def block_time_major(ids: np.ndarray, block_len: int, halo: int,
                      head: np.ndarray = None) -> Tuple[np.ndarray, int]:
     """Lay out a stream as a time-major [halo+L, B] block matrix.

@@ -61,19 +61,3 @@ def decode_matches(states: np.ndarray, tables: DenseTables,
                    end_state=int(s), index=int(i))
         for e, l, s, i in zip(ends, lengths, end_states, idx)
     ]
-
-
-def decode_arrays(states: np.ndarray, tables: DenseTables,
-                  offset: int = 0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vector form of decode_matches: (ends, end_states, indices) arrays —
-    the building block for cross-shard gathers where Python objects are too
-    slow."""
-    states = np.asarray(states)
-    counts = tables.nb_outputs[states]
-    (hit_pos,) = np.nonzero(counts)
-    hit_counts = counts[hit_pos]
-    ends = np.repeat(hit_pos, hit_counts)
-    idx = np.arange(ends.size) - np.repeat(
-        np.cumsum(hit_counts) - hit_counts, hit_counts)
-    emit_idx = tables.emit_start[states[ends]] + idx
-    return ends + offset, tables.emit_state[emit_idx], idx

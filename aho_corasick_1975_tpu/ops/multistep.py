@@ -117,7 +117,7 @@ def stepped_count_core(V: int, k: int, Vk: int, count_bits: int,
 
     ts = jnp.arange(Lk, dtype=jnp.int32)
     (_, tot), _ = lax.scan(step, (s0, zero), (ts, grams))
-    return jnp.sum(tot)
+    return tot  # per-stream totals; see blocked_count_core
 
 
 @lru_cache(maxsize=None)
@@ -157,6 +157,6 @@ def make_stepped_count_unpacked(V: int, k: int, Vk: int, halo_steps: int):
 
         ts = jnp.arange(Lk, dtype=jnp.int32)
         (_, tot), _ = lax.scan(step, (s0, zero), (ts, grams))
-        return jnp.sum(tot)
+        return tot  # per-stream totals; sum on host in int64
 
     return count

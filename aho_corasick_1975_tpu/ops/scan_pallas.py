@@ -63,10 +63,9 @@ def make_pallas_blocked_count(V: int, halo: int, interpret: bool = False):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if not interpret
-                                   else pltpu.ANY),
-                      pl.BlockSpec(memory_space=pltpu.ANY),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             interpret=interpret,
         )(dflat, nb_out, ids_tm)[0, 0]

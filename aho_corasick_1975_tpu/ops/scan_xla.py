@@ -48,28 +48,6 @@ def make_sequential_scan(V: int):
 
 
 @lru_cache(maxsize=None)
-def make_sequential_count(V: int):
-    """Returns count(dflat, nb_out, ids, s0) -> (final_state, total_matches).
-
-    Fully fused: no [T] state materialization; the per-step output-count
-    gather plays the role of the reference's ``nb_outputs`` read (c:447)."""
-
-    @jax.jit
-    def count(dflat, nb_out, ids, s0):
-        def step(carry, c):
-            s, tot = carry
-            s2 = dflat[s * V + c]
-            return (s2, tot + nb_out[s2]), None
-
-        (sT, total), _ = lax.scan(step, (s0, jnp.int64(0) if
-                                         jax.config.jax_enable_x64 else
-                                         jnp.int32(0)), ids)
-        return sT, total
-
-    return count
-
-
-@lru_cache(maxsize=None)
 def make_blocked_scan(V: int):
     """Returns scan(dflat, ids_tm) -> states_tm.
 
@@ -114,7 +92,9 @@ def blocked_count_core(V: int, halo: int, dflat, nb_out, ids_tm):
 
     ts = jnp.arange(L, dtype=jnp.int32)
     (_, tot), _ = lax.scan(step, (s0, zero), (ts, ids_tm))
-    return jnp.sum(tot)
+    # per-stream totals (int32-safe: a stream holds < 2^31 matches); the
+    # grand total is summed on the host in int64 by single-chip callers.
+    return tot
 
 
 def window_layout(ids_ext, n_blocks: int, block_len: int, halo: int):
@@ -140,13 +120,14 @@ def window_layout(ids_ext, n_blocks: int, block_len: int, halo: int):
 
 @lru_cache(maxsize=None)
 def make_blocked_count(V: int, halo: int):
-    """Returns count(dflat, nb_out, ids_tm) -> total matches (int32).
+    """Returns count(dflat, nb_out, ids_tm) -> per-stream totals [B] int32.
 
     Positions t < halo of every stream are warm-up re-runs of the previous
-    block's suffix and are excluded from the count."""
+    block's suffix and are excluded. Callers sum on the host in int64 (a
+    single stream cannot overflow int32; a pod-scale grand total can)."""
 
     @jax.jit
     def count(dflat, nb_out, ids_tm):
         return blocked_count_core(V, halo, dflat, nb_out, ids_tm)
 
-    return count
+    return count  # returns per-stream totals; sum on host in int64

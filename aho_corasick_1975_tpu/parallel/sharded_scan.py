@@ -72,7 +72,9 @@ def make_sharded_count(mesh: Mesh, V: int, halo: int,
         ext = jnp.concatenate(
             [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
         win = window_layout(ext, B, L, halo)
-        tot = blocked_count_core(V, halo, dflat, nb_out, win)
+        tot = jnp.sum(blocked_count_core(V, halo, dflat, nb_out, win))
+        # int32 collective: a single sharded count call saturates at 2^31
+        # total matches; chunk the corpus (StreamSession) beyond that.
         return lax.psum(tot, axis_name)
 
     fn = jax.shard_map(local_count, mesh=mesh,
@@ -101,8 +103,8 @@ def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
         ext = jnp.concatenate(
             [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
         win = window_layout(ext, B, L, halo_sym)
-        tot = ms.stepped_count_core(V, k, Vk, count_bits, halo_steps,
-                                    packed, win)
+        tot = jnp.sum(ms.stepped_count_core(V, k, Vk, count_bits, halo_steps,
+                                            packed, win))
         return lax.psum(tot, axis_name)
 
     fn = jax.shard_map(local_count, mesh=mesh,
@@ -202,9 +204,8 @@ class ShardedScanner:
         return jax.device_put(jnp.asarray(ids), self._shard), T
 
     def count(self, signs) -> int:
-        ids = np.asarray(self.machine.vocab.lookup_many(signs), np.int32) \
-            if not (isinstance(signs, np.ndarray) and signs.dtype == np.int32) \
-            else signs
+        from ..models.scanner import encode_signs
+        ids = encode_signs(self.machine, signs, self.V)
         if len(ids) == 0:
             return 0
         placed, _ = self._pad_and_place(ids)
@@ -213,10 +214,18 @@ class ShardedScanner:
         return int(self._count(self._dflat, self._nb_out, placed))
 
     def scan_states(self, signs) -> np.ndarray:
-        ids = np.asarray(self.machine.vocab.lookup_many(signs), np.int32) \
-            if not (isinstance(signs, np.ndarray) and signs.dtype == np.int32) \
-            else signs
+        from ..models.scanner import encode_signs
+        ids = encode_signs(self.machine, signs, self.V)
         if len(ids) == 0:
             return np.zeros(0, np.int32)
         placed, T = self._pad_and_place(ids)
         return np.asarray(self._scan(self._dflat, placed))[:T]
+
+    def find_matches(self, signs, offset: int = 0):
+        """(event, Match) occurrences across the sharded stream, reference
+        index order — the mesh-wide sibling of DenseScanner.find_matches."""
+        from ..ops.decode import decode_matches
+        states = self.scan_states(signs)
+        events = decode_matches(states, self.tables, offset=offset)
+        return [(ev, self.machine.match_for_state(ev.end_state))
+                for ev in events]

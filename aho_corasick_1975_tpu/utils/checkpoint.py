@@ -102,6 +102,10 @@ def load_machine(path_or_file: Union[str, BinaryIO], key_fn: Any = "saved",
     ends = np.nonzero(is_end)[0]
     for s in ends[np.argsort(kw_rank[ends], kind="stable")]:
         b.insert_end(int(s))
+    # Restore the snapshot-version counter exactly: replay only counts
+    # distinct end-insertions, but duplicates also bump the version, and
+    # StreamSession checkpoints pin on it.
+    b.set_version(int(z["version"]))
     m._values = values
     return m
 

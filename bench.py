@@ -83,15 +83,21 @@ def main() -> None:
         count_fn = scanner._blocked_count
         k = 1
 
+    import numpy as _np
+
+    def run_once():
+        return int(_np.asarray(count_fn(*tabs, dev_blocks))
+                   .sum(dtype=_np.int64))
+
     # Warm-up (compile + first run).
-    total = int(count_fn(*tabs, dev_blocks))
+    total = run_once()
 
     # Synchronous timing: async dispatch + block_until_ready is unreliable
     # through this TPU tunnel; int() forces real completion per rep.
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        r = int(count_fn(*tabs, dev_blocks))
+        r = run_once()
         times.append(time.perf_counter() - t0)
     dt = min(times)
     assert r == total

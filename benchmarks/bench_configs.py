@@ -45,11 +45,14 @@ def config3():
     else:
         blocks = jnp.asarray(sc._layout(ids)[0])
         fn, tabs = sc._blocked_count, (sc._dflat, sc._nb_out)
-    total = int(fn(*tabs, blocks))
+    def run_once():
+        return int(np.asarray(fn(*tabs, blocks)).sum(dtype=np.int64))
+
+    total = run_once()
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        r = int(fn(*tabs, blocks))
+        r = run_once()
         best = min(best, time.perf_counter() - t0)
     print(json.dumps({
         "config": 3, "corpus_mb": mb, "n_states": m.n_states,

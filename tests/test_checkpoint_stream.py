@@ -117,3 +117,34 @@ def test_scanner_stats_recorded():
     assert sc.stats["last_op"] == "count"
     assert sc.stats["last_symbols"] == 600
     assert sc.stats["last_symbols_per_sec"] > 0
+
+
+def test_phase_timer():
+    import time as _time
+    from aho_corasick_1975_tpu.utils.profiling import PhaseTimer
+    t = PhaseTimer()
+    with t.phase("build"):
+        _time.sleep(0.01)
+    with t.phase("build"):
+        pass
+    with t.phase("scan"):
+        pass
+    rep = t.report()
+    assert rep["build"]["calls"] == 2 and rep["build"]["seconds"] >= 0.01
+    assert rep["scan"]["calls"] == 1
+
+
+def test_checkpoint_restores_version_counter():
+    """Duplicate insertions bump the version; reload must restore it so
+    StreamSession checkpoints stay valid (review finding)."""
+    m = ac.Machine()
+    m.insert_keyword("ab")
+    m.insert_keyword("ab")            # duplicate: version 2, keywords 1
+    buf = io.BytesIO()
+    ckpt.save_machine(m, buf)
+    buf.seek(0)
+    m2 = ckpt.load_machine(buf)
+    assert m2.version == m.version
+    sess_state = m.scanner(n_streams=2).session().checkpoint()
+    from aho_corasick_1975_tpu.models.scanner import StreamSession
+    StreamSession.restore(m2.scanner(n_streams=2), sess_state)  # no raise

@@ -81,8 +81,8 @@ def test_unpacked_fallback_forced(monkeypatch):
         delta_k, cnt_k = st.delta_k, st.cnt_k
     f = ms.make_stepped_count_unpacked(V, k, Vk, sc_packed._halo_steps)
     blocks = sc_packed._layout_stepped(sc_packed.encode(text))
-    got = int(f(jnp.asarray(delta_k), jnp.asarray(cnt_k),
-                jnp.asarray(blocks)))
+    got = int(np.asarray(f(jnp.asarray(delta_k), jnp.asarray(cnt_k),
+                           jnp.asarray(blocks))).sum(dtype=np.int64))
     assert got == sc_packed.count(text)
 
 

@@ -121,3 +121,19 @@ def test_machine_backend_explicit():
         " 6:he 5:she 6:hers 12:he 21:his 38:he 37:she 56:he 56:hers"
     assert m.scanner(n_streams=4).count(text) == 9
     assert [k.text() for k in m.keywords()] == ["he", "hers", "his", "she"]
+
+
+def test_letter_id_bound_rejected():
+    """letter ids beyond the native 21-bit packing limit must fail loudly
+    (review finding: silent edge-key aliasing caused an infinite hang)."""
+    b = NativeBuilder(True)
+    with pytest.raises(ValueError, match="exceeds the native core's limit"):
+        b.insert_letter(0, 1 << 21)
+    with pytest.raises(ValueError):
+        b.insert_keywords_bulk(np.asarray([1 << 21], np.int32),
+                               np.asarray([0, 1], np.int64))
+    # the Python backend handles the same ids fine
+    from aho_corasick_1975_tpu.core.builder import Builder
+    pb = Builder(True)
+    s = pb.insert_letter(0, 1 << 21)
+    assert pb.insert_end(s)

@@ -97,3 +97,17 @@ def test_oov_symbols_route_to_root():
     assert m.match(cur, "b") == 1
     scanner = m.scanner()
     assert scanner.count("a#b ab") == 1
+
+
+def test_int32_array_passthrough_is_bounds_checked():
+    """int32 ndarrays are pre-encoded ids by contract; out-of-range values
+    (e.g. raw integer signs) must raise, not scan garbage (review finding)."""
+    import numpy as np
+    m = ac.Machine()
+    m.insert_keyword([5, 6])          # integer signs -> ids 1,2
+    sc = m.scanner(n_streams=2)
+    assert sc.count([5, 6]) == 1      # list goes through vocab
+    with pytest.raises(ValueError, match="pre-encoded letter ids"):
+        sc.count(np.array([5, 6], np.int32))   # raw signs as ndarray
+    ids = np.asarray(m.vocab.lookup_many([5, 6]), np.int32)
+    assert sc.count(ids) == 1         # properly encoded passthrough
