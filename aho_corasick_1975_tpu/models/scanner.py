@@ -172,14 +172,59 @@ class DenseScanner:
                                                  head=head)
         return blocks_tm
 
-    def find_matches(self, signs, offset: int = 0,
-                     head=None) -> List[Tuple[MatchEvent, Any]]:
+    def find_matches(self, signs, offset: int = 0, head=None,
+                     max_hits: Optional[int] = None
+                     ) -> List[Tuple[MatchEvent, Any]]:
         """All (event, Match) occurrences, ordered by end position; within a
-        position, longest first (reference acm_get_match index order)."""
+        position, longest first (reference acm_get_match index order).
+
+        ``max_hits``: enable the device-side bounded hit extraction
+        (ops/hits.py) — only hit positions travel to the host instead of
+        every per-position state; raises if more than ``max_hits`` positions
+        match (retry larger or chunk with a StreamSession)."""
+        if max_hits is not None:
+            return self._find_matches_device(signs, offset, head, max_hits)
         states = self.scan_states(signs, head=head)
         events = decode_matches(states, self.tables, offset=offset)
         return [(ev, self.machine.match_for_state(ev.end_state))
                 for ev in events]
+
+    def _find_matches_device(self, signs, offset, head, max_hits):
+        from ..ops.hits import make_blocked_hits
+        ids = self.encode(signs)
+        if len(ids) == 0:
+            return []
+        t0 = time.perf_counter()
+        blocks_tm, _, T = self._layout(ids, head=head)
+        L = blocks_tm.shape[0]
+        fn = make_blocked_hits(self.V, self.halo, int(max_hits))
+        positions, sts, n_hits, n_hit_pos = fn(self._dflat, self._nb_out,
+                                               jnp.asarray(blocks_tm))
+        n_hit_pos = int(n_hit_pos)
+        positions = np.asarray(positions)
+        sts = np.asarray(sts)
+        keep = (positions >= 0) & (positions < T)
+        positions, sts = positions[keep], sts[keep]
+        if n_hit_pos > max_hits:
+            raise ValueError(
+                f"{n_hit_pos} matching positions exceed max_hits={max_hits}; "
+                "raise max_hits or chunk the stream with a session")
+        # decode sparse hits through the emit CSR (host, O(hits))
+        order = np.argsort(positions, kind="stable")
+        events: List[Tuple[MatchEvent, Any]] = []
+        tb = self.tables
+        for p, s in zip(positions[order].tolist(), sts[order].tolist()):
+            base = int(tb.emit_start[s])
+            n = int(tb.nb_outputs[s])
+            for i in range(n):
+                end_state = int(tb.emit_state[base + i])
+                length = int(tb.depth[end_state])
+                ev = MatchEvent(end=p + offset,
+                                start=p + offset - length + 1,
+                                end_state=end_state, index=i)
+                events.append((ev, self.machine.match_for_state(end_state)))
+        self._record("find_matches_device", T, time.perf_counter() - t0)
+        return events
 
     def _record(self, op: str, n_symbols: int, seconds: float) -> None:
         self.stats["last_op"] = op

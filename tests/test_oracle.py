@@ -111,3 +111,33 @@ def test_int32_array_passthrough_is_bounds_checked():
         sc.count(np.array([5, 6], np.int32))   # raw signs as ndarray
     ids = np.asarray(m.vocab.lookup_many([5, 6]), np.int32)
     assert sc.count(ids) == 1         # properly encoded passthrough
+
+
+@pytest.mark.parametrize("max_hits", [64, 4096])
+def test_device_hit_extraction_equals_full_decode(max_hits):
+    """Bounded device-side hit extraction (ops/hits.py) must produce the
+    identical event list as the full-states decode path."""
+    import random as _r
+    rng = _r.Random(21)
+    m = ac.Machine()
+    for _ in range(40):
+        m.insert_keyword("".join(rng.choice("ab")
+                                 for _ in range(rng.randint(1, 5))))
+    text = "".join(rng.choice("abx") for _ in range(2000))
+    sc = m.scanner(n_streams=8)
+    full = [(ev, match.text()) for ev, match in sc.find_matches(text)]
+    if len({ev.end for ev, _ in full}) > max_hits:
+        with pytest.raises(ValueError, match="exceed max_hits"):
+            sc.find_matches(text, max_hits=max_hits)
+        return
+    dev = [(ev, match.text())
+           for ev, match in sc.find_matches(text, max_hits=max_hits)]
+    assert dev == full
+
+
+def test_device_hit_extraction_overflow_raises():
+    m = ac.Machine()
+    m.insert_keyword("a")
+    sc = m.scanner(n_streams=4)
+    with pytest.raises(ValueError, match="exceed max_hits"):
+        sc.find_matches("a" * 500, max_hits=16)
