@@ -29,8 +29,9 @@ pytestmark = pytest.mark.skipif(not os.path.exists(CORPUS),
 def normalized_stream():
     with open(CORPUS, errors="replace") as f:
         raw = f.read()
-    # generic_test.c:192-195: non-alpha -> ' ', lowercase.
-    return re.sub(r"[^a-z]", " ", raw.lower())
+    # generic_test.c:192-195: iswalpha/towlower under a UTF-8 locale —
+    # accented letters (café, brontë, ...) count as alphabetic.
+    return "".join(ch.lower() if ch.isalpha() else " " for ch in raw)
 
 
 @pytest.mark.slow

@@ -151,3 +151,51 @@ def test_mrs_dalloway_differential(mode, tmp_path):
     dev_events = [f"{ev.end}:{ev.index}:{match.text()}"
                   for ev, match in sc.find_matches(text)]
     assert dev_events == ref_events
+
+
+@pytest.mark.slow
+def test_generic_test2_word_counts_differential(mode, tmp_path):
+    """Compile and run the reference's OWN generic test (Test 2: build the
+    dictionary incrementally from mrs_dalloway.txt while scanning, counting
+    occurrences in the associated values) and compare the full per-keyword
+    count map against our incremental replay."""
+    corpus = os.path.join(REF, "examples/mrs_dalloway.txt")
+    if not os.path.exists(corpus):
+        pytest.skip("corpus not mounted")
+    exe = build(f"generic_test{mode}",
+                [os.path.join(REF, "examples/aho_corasick_generic_test.c")],
+                mode)
+    shutil.copy(corpus, tmp_path / "mrs_dalloway.txt")
+    out = subprocess.run([exe, "2"], capture_output=True, text=True,
+                         check=True, cwd=tmp_path)
+    assert "6966 keywords registered." in out.stdout
+    import re as _re
+    ref_counts = dict(
+        (kw, int(v))
+        for kw, v in _re.findall(r"\{'([^']*)'=(\d+)\}", out.stdout))
+    assert len(ref_counts) == 6966
+
+    # Our replay of the same loop: register each new space-wrapped word
+    # with value [1]; every match increments the matched keyword's value.
+    raw = open(corpus, errors="replace").read()
+    # Match the reference's normalization exactly: iswalpha/towlower under
+    # a UTF-8 locale — accented letters are alphabetic (the corpus has
+    # café/brontë/fräulein...), so use Unicode-aware isalpha/lower.
+    text = "".join(ch.lower() if ch.isalpha() else " " for ch in raw)
+    m = ac.Machine(incremental=(mode == ""))
+    cur = m.initiate()
+    m.match(cur, " ")
+    line = " "
+    for ch in text:
+        nb = m.match(cur, ch)
+        line += ch
+        if nb:
+            for j in range(nb):
+                m.get_match(cur, j).value[0] += 1
+            line = " "
+        elif ch == " ":
+            if line != "  ":
+                m.insert_keyword(line, value=[1])
+            line = " "
+    ours = {k.text(): k.value[0] for k in m.keywords()}
+    assert ours == ref_counts
