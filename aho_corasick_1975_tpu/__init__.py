@@ -29,13 +29,20 @@ from .api import (ACM_CMP_DEFAULT, ACM_INCREMENTAL_STRING_MATCHING,
                   acm_matcher_release, acm_nb_keywords, acm_print,
                   acm_release)
 from .core.builder import Builder, DenseTables
+from .models.bytes_machine import ByteMachine, UnicodeMachine
 from .models.machine import Cursor, Machine, Match
-from .models.scanner import DenseScanner
+from .models.scanner import DenseScanner, StreamSession
+from .utils.checkpoint import (load_machine, load_tables, save_machine,
+                               save_tables)
+from .utils.config import MachineConfig, MeshConfig, ScanConfig
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Machine", "Cursor", "Match", "DenseScanner", "Builder", "DenseTables",
+    "ByteMachine", "UnicodeMachine", "StreamSession",
+    "save_machine", "load_machine", "save_tables", "load_tables",
+    "MachineConfig", "ScanConfig", "MeshConfig",
     "acm_create", "acm_release", "acm_initiate",
     "acm_insert_letter_of_keyword", "acm_insert_end_of_keyword", "acm_match",
     "acm_matcher_init", "acm_get_match", "acm_matcher_release",
