@@ -270,6 +270,9 @@ class Builder:
             state = self.fail[state]
             i += 1
 
+    def kw_rank_of(self, state: int) -> int:
+        return self.kw_rank[state]
+
     def keyword_letters(self, state: int) -> List[int]:
         """Letter ids of the keyword ending at ``state``, reconstructed
         backwards via previous links (ref c:471-480)."""

@@ -75,6 +75,10 @@ def load_library():
         lib.acx_export_edges.argtypes = [ct.c_void_p, i64, p(i32), p(i32),
                                          p(i32)]
         lib.acx_set_version.argtypes = [ct.c_void_p, i64]
+        lib.acx_keyword_letters.restype = i64
+        lib.acx_keyword_letters.argtypes = [ct.c_void_p, i32, p(i32), i64]
+        lib.acx_kw_rank.restype = i64
+        lib.acx_kw_rank.argtypes = [ct.c_void_p, i32]
         lib.acx_max_letter_id.restype = i32
         lib.acx_max_letter_id.argtypes = []
         _lib = lib
@@ -274,14 +278,19 @@ class NativeBuilder:
     # -- keyword reconstruction / enumeration -------------------------------
 
     def keyword_letters(self, state: int) -> List[int]:
-        self._refresh()
-        prev_state, prev_letter = self._arrays[1], self._arrays[2]
-        out: List[int] = []
-        while prev_state[state] != NO_STATE:
-            out.append(int(prev_letter[state]))
-            state = int(prev_state[state])
-        out.reverse()
-        return out
+        # native walk (no array snapshot): O(keyword length) even while the
+        # machine mutates concurrently
+        cap = 64
+        while True:
+            buf = np.empty(cap, np.int32)
+            n = int(self._lib.acx_keyword_letters(self._h, state,
+                                                  _ptr(buf, ct.c_int32), cap))
+            if n <= cap:
+                return buf[:n].tolist()
+            cap = n
+
+    def kw_rank_of(self, state: int) -> int:
+        return int(self._lib.acx_kw_rank(self._h, state))
 
     def iter_keywords(self, sort_key=None) -> Iterator[Tuple[int, List[int]]]:
         trans = self.transitions

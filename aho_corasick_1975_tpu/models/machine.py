@@ -210,7 +210,7 @@ class Machine:
         reconstruction via previous links, ref c:471-480)."""
         letters = self.vocab.signs(self._b.keyword_letters(end_state))
         return Match(letters=letters, value=self._values.get(end_state),
-                     rank=self._b.kw_rank[end_state])
+                     rank=self._b.kw_rank_of(end_state))
 
     # -- introspection ------------------------------------------------------
 
@@ -224,7 +224,7 @@ class Machine:
         for end, letter_ids in self._b.iter_keywords(self.vocab.sort_key):
             fn(Match(letters=self.vocab.signs(letter_ids),
                      value=self._values.get(end),
-                     rank=self._b.kw_rank[end]))
+                     rank=self._b.kw_rank_of(end)))
 
     def keywords(self) -> List[Match]:
         out: List[Match] = []

@@ -514,6 +514,27 @@ void acx_export_edges(Machine* m, int64_t n_limit, int32_t* parents,
   }
 }
 
+// Keyword letters of the state's incoming path, written backwards-then-
+// reversed into buf (cap letters max); returns the keyword length.
+int64_t acx_keyword_letters(Machine* m, int32_t state, int32_t* buf,
+                            int64_t cap) {
+  std::lock_guard<std::mutex> lock(m->token);
+  int64_t n = 0;
+  for (int32_t s = state; s != kRoot && m->prev_state[s] != kNoState;
+       s = m->prev_state[s])
+    ++n;
+  int64_t i = n < cap ? n : cap;
+  for (int32_t s = state; i > 0 && m->prev_state[s] != kNoState;
+       s = m->prev_state[s])
+    buf[--i] = m->prev_letter[s];
+  return n;
+}
+
+int64_t acx_kw_rank(Machine* m, int32_t state) {
+  std::lock_guard<std::mutex> lock(m->token);
+  return m->kw_rank[state];
+}
+
 void acx_set_version(Machine* m, int64_t v) {
   std::lock_guard<std::mutex> lock(m->token);
   m->version = v;
