@@ -137,3 +137,61 @@ def test_letter_id_bound_rejected():
     pb = Builder(True)
     s = pb.insert_letter(0, 1 << 21)
     assert pb.insert_end(s)
+
+
+@pytest.mark.parametrize("incremental", [True, False],
+                         ids=["meyer85", "ac75"])
+def test_interleaved_operation_fuzz(incremental):
+    """Random interleaving of every backend operation — streamed letters,
+    end marks, single/bulk inserts, matches, table emission — must keep the
+    native and Python backends in lockstep at every step."""
+    rng = random.Random(31337)
+    nb, pb = NativeBuilder(incremental), Builder(incremental)
+    cursor_n = cursor_p = 0
+    match_n = match_p = 0
+    vocab_max = 6
+    for step in range(2500):
+        op = rng.random()
+        if op < 0.35:                      # stream a letter
+            letter = rng.randint(1, vocab_max)
+            cursor_n = nb.insert_letter(cursor_n, letter)
+            cursor_p = pb.insert_letter(cursor_p, letter)
+            assert cursor_n == cursor_p
+        elif op < 0.45 and cursor_n != 0:  # end the keyword
+            assert nb.insert_end(cursor_n) == pb.insert_end(cursor_p)
+            cursor_n = cursor_p = 0
+        elif op < 0.55:                    # bulk insert a few keywords
+            kws = [[rng.randint(1, vocab_max)
+                    for _ in range(rng.randint(1, 5))]
+                   for _ in range(rng.randint(1, 4))]
+            flat = np.asarray([x for kw in kws for x in kw], np.int32)
+            offs = np.zeros(len(kws) + 1, np.int64)
+            np.cumsum([len(kw) for kw in kws], out=offs[1:])
+            ends_n, fresh_n = nb.insert_keywords_bulk(flat, offs)
+            for kw, en, fn_ in zip(kws, ends_n.tolist(), fresh_n.tolist()):
+                s = 0
+                for x in kw:
+                    s = pb.insert_letter(s, x)
+                assert s == en
+                assert pb.insert_end(s) == fn_
+        elif op < 0.9:                     # match a symbol
+            letter = rng.randint(0, vocab_max + 1)  # incl. OOV & unseen
+            rn = nb.match(match_n, letter)
+            rp = pb.match(match_p, letter)
+            assert rn == rp
+            match_n, match_p = rn[0], rp[0]
+            if rn[1]:
+                idx = rng.randrange(rn[1])
+                en = nb.get_match_state(match_n, idx)
+                ep = pb.get_match_state(match_p, idx)
+                assert en == ep
+                assert nb.keyword_letters(en) == pb.keyword_letters(ep)
+                assert nb.kw_rank_of(en) == pb.kw_rank_of(ep)
+        elif nb.nb_sequences:              # emit and compare tables
+            t1 = nb.emit_tables()
+            t2 = pb.emit_tables()
+            for f in TABLE_FIELDS:
+                np.testing.assert_array_equal(getattr(t1, f),
+                                              getattr(t2, f), f)
+    assert nb.n_states == pb.n_states
+    assert nb.nb_sequences == pb.nb_sequences
