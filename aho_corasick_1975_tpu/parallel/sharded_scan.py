@@ -151,6 +151,60 @@ def make_sharded_scan_states(mesh: Mesh, V: int, halo: int,
     return jax.jit(fn)
 
 
+def make_sharded_hits(mesh: Mesh, V: int, halo: int, max_hits_per_shard: int,
+                      n_streams_per_device: int = 256,
+                      axis_name: str = DATA_AXIS):
+    """Mesh-wide bounded match extraction: each shard scans locally, pulls
+    its hit positions/states into a fixed-size buffer, and the buffers are
+    combined with lax.all_gather — matches (positions + states) come back
+    replicated without ever shipping the per-position state stream.
+
+    Returns jitted hits(dflat, nb_out, ids) ->
+      (positions [D, max], states [D, max], n_hit_positions [D]).
+    Positions are absolute stream indices (-1 = empty slot)."""
+    n_dev = mesh.shape[axis_name]
+
+    def local_hits(dflat, nb_out, ids_local):
+        ids_local = ids_local.reshape(-1)
+        Tl = ids_local.shape[0]
+        left = _right_shift_halo(ids_local, halo, axis_name, n_dev)
+        B = min(n_streams_per_device, max(1, Tl // 64))
+        L = -(-Tl // B)
+        pad = B * L - Tl
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
+        win = window_layout(ext, B, L, halo)
+        s0 = win[0] * 0
+
+        def step(s, c):
+            s2 = dflat[s * V + c]
+            return s2, s2
+
+        _, states_tm = lax.scan(step, s0, win)
+        body_states = states_tm[halo:, :]                  # [L, B]
+        counts = nb_out[body_states]
+        flat_states = body_states.T.reshape(-1)[:Tl]
+        flat_counts = counts.T.reshape(-1)[:Tl]
+        hit_mask = flat_counts > 0
+        n_hit_pos = jnp.sum(hit_mask, dtype=jnp.int32)
+        (idx,) = jnp.nonzero(hit_mask, size=max_hits_per_shard,
+                             fill_value=-1)
+        valid = idx >= 0
+        shard_base = lax.axis_index(axis_name) * Tl
+        positions = jnp.where(valid, idx + shard_base, -1)
+        sts = jnp.where(valid, flat_states[jnp.maximum(idx, 0)], 0)
+        return (lax.all_gather(positions, axis_name),
+                lax.all_gather(sts, axis_name),
+                lax.all_gather(n_hit_pos, axis_name))
+
+    # check_vma off: the all_gather outputs are replicated by construction,
+    # but the static varying-axis checker cannot prove it.
+    fn = jax.shard_map(local_hits, mesh=mesh,
+                       in_specs=(P(), P(), P(axis_name)),
+                       out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(fn)
+
+
 class ShardedScanner:
     """Mesh-wide scanner over a machine snapshot: the multi-chip sibling of
     models.scanner.DenseScanner."""
@@ -176,6 +230,8 @@ class ShardedScanner:
                                          n_streams_per_device, axis_name)
         self._scan = make_sharded_scan_states(mesh, self.V, self.halo,
                                               n_streams_per_device, axis_name)
+        self._n_streams_per_device = n_streams_per_device
+        self._hits_fns: dict = {}
         # k-gram packed fast count (mirrors DenseScanner.step_k)
         if step_k == "auto":
             self.step_k = ms.choose_k(self.tables.n_states, self.V,
@@ -221,11 +277,52 @@ class ShardedScanner:
         placed, T = self._pad_and_place(ids)
         return np.asarray(self._scan(self._dflat, placed))[:T]
 
-    def find_matches(self, signs, offset: int = 0):
+    def find_matches(self, signs, offset: int = 0,
+                     max_hits_per_shard: Optional[int] = None):
         """(event, Match) occurrences across the sharded stream, reference
-        index order — the mesh-wide sibling of DenseScanner.find_matches."""
+        index order — the mesh-wide sibling of DenseScanner.find_matches.
+
+        ``max_hits_per_shard``: use the all_gather bounded-hit path (only
+        hits travel; raises if any shard overflows its buffer)."""
         from ..ops.decode import decode_matches
-        states = self.scan_states(signs)
-        events = decode_matches(states, self.tables, offset=offset)
-        return [(ev, self.machine.match_for_state(ev.end_state))
-                for ev in events]
+        if max_hits_per_shard is None:
+            states = self.scan_states(signs)
+            events = decode_matches(states, self.tables, offset=offset)
+            return [(ev, self.machine.match_for_state(ev.end_state))
+                    for ev in events]
+        from ..models.scanner import encode_signs
+        from ..ops.decode import MatchEvent
+        ids = encode_signs(self.machine, signs, self.V)
+        if len(ids) == 0:
+            return []
+        key = int(max_hits_per_shard)
+        if key not in self._hits_fns:
+            self._hits_fns[key] = make_sharded_hits(
+                self.mesh, self.V, self.halo, key,
+                self._n_streams_per_device, self.axis_name)
+        placed, T = self._pad_and_place(ids)
+        positions, sts, n_hit_pos = self._hits_fns[key](
+            self._dflat, self._nb_out, placed)
+        n_hit_pos = np.asarray(n_hit_pos)
+        if int(n_hit_pos.max()) > key:
+            raise ValueError(
+                f"a shard has {int(n_hit_pos.max())} matching positions, "
+                f"over max_hits_per_shard={key}")
+        positions = np.asarray(positions).reshape(-1)
+        sts = np.asarray(sts).reshape(-1)
+        keep = (positions >= 0) & (positions < T)
+        positions, sts = positions[keep], sts[keep]
+        order = np.argsort(positions, kind="stable")
+        tb = self.tables
+        events = []
+        for p, s in zip(positions[order].tolist(), sts[order].tolist()):
+            base, n = int(tb.emit_start[s]), int(tb.nb_outputs[s])
+            for i in range(n):
+                end_state = int(tb.emit_state[base + i])
+                length = int(tb.depth[end_state])
+                ev = MatchEvent(end=p + offset,
+                                start=p + offset - length + 1,
+                                end_state=end_state, index=i)
+                events.append((ev,
+                               self.machine.match_for_state(end_state)))
+        return events

@@ -76,3 +76,27 @@ def test_empty_and_tiny_streams(mesh8):
     sharded = ShardedScanner(m, mesh8, n_streams_per_device=2)
     assert sharded.count("") == 0
     assert sharded.count("xy") == 1     # T=2 < n_dev: pure padding shards
+
+
+def test_sharded_allgather_hit_extraction(mesh8):
+    """Bounded per-shard hit buffers combined via all_gather must equal the
+    full-states decode, including cross-shard boundary matches."""
+    m = ac.Machine()
+    m.insert_keyword("edge")
+    m.insert_keyword("dg")
+    T = 8 * 64
+    text = ["."] * T
+    for b in range(32, T, 64):          # some spanning shard boundaries
+        for k, ch in enumerate("edge"):
+            if b + k < T:
+                text[b + k] = ch
+    text = "".join(text)
+    sc = ShardedScanner(m, mesh8, n_streams_per_device=4)
+    full = [(ev, match.text()) for ev, match in sc.find_matches(text)]
+    fast = [(ev, match.text())
+            for ev, match in sc.find_matches(text, max_hits_per_shard=16)]
+    assert fast == full and len(full) > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="over max_hits_per_shard"):
+        sc.find_matches(text, max_hits_per_shard=1)
