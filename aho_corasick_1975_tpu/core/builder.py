@@ -32,7 +32,7 @@ root (reference modification [3], README.md:347).
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Set, Tuple
 
 import numpy as np

@@ -16,7 +16,7 @@ codepoint-exact variant on moderate vocabularies.
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Union
 
 import numpy as np
 

@@ -31,7 +31,7 @@ feature (README.md:352-356; see SURVEY.md §7 "Insert-during-scan semantics").
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, IO, List, Optional
 
 from ..core.builder import Builder, DenseTables, ROOT

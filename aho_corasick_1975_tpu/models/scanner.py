@@ -16,7 +16,6 @@ from __future__ import annotations
 import time
 from typing import Any, List, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -11,7 +11,7 @@ chasing (SURVEY.md §7 "hard parts").
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple
 
 import numpy as np
 

@@ -22,7 +22,7 @@ All functions close over the vocab width V and take the flattened table
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

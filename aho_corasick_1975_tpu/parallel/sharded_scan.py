@@ -17,7 +17,6 @@ host-count-aware.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
