@@ -52,6 +52,7 @@ struct EdgeMap {
   // 16-byte key+value slots: one cache line touch per probe (split key/val
   // arrays cost a second miss per lookup — measurable on multi-million-
   // state builds).
+  void prefetch(int32_t state, int32_t letter) const;
   struct Slot {
     uint64_t key;
     int32_t val;
@@ -101,6 +102,10 @@ struct EdgeMap {
     if (need > mask + 1) rehash(need);
   }
 };
+
+inline void EdgeMap::prefetch(int32_t state, int32_t letter) const {
+  __builtin_prefetch(&slots[mix64(edge_key(state, letter)) & mask]);
+}
 
 struct Machine {
   bool incremental;  // true = Meyer 1985, false = AC75 lazy BFS
@@ -373,24 +378,73 @@ void acx_insert_keywords(Machine* m, const int32_t* letters,
   m->if_next.reserve(reserve_states);
   m->if_prev.reserve(reserve_states);
   std::vector<int32_t> scratch, stack;
-  for (int64_t i = 0; i < n_keywords; ++i) {
-    int32_t state = kRoot;
-    for (int64_t j = offsets[i]; j < offsets[i + 1]; ++j) {
-      int32_t letter = letters[j];
-      int32_t nxt = m->edges.find(state, letter);
-      state = (nxt != kNoState) ? nxt : m->enter_child(state, letter, scratch);
+  // Two-phase waves: phase A walks a wave of keywords READ-ONLY through
+  // the existing trie with software-pipelined prefetching (keywords are
+  // independent, so their probe chains overlap and hide hash-miss
+  // latency); phase B completes each keyword IN ORDER — re-probing past
+  // the phase-A endpoint first, since an earlier keyword in the same wave
+  // may have created a shared prefix — so state ids and ranks are
+  // assigned in exactly the sequential order (the determinism contract
+  // behind backend parity and reference-dump parity).
+  constexpr int64_t kWave = 64;
+  int32_t endpoint[kWave];
+  int64_t resume[kWave];
+  for (int64_t wave = 0; wave < n_keywords; wave += kWave) {
+    int64_t wn = std::min(kWave, n_keywords - wave);
+    // phase A: interleaved read-only prefix walks
+    int64_t pos[kWave];
+    bool done[kWave];
+    int64_t remaining = wn;
+    for (int64_t w = 0; w < wn; ++w) {
+      endpoint[w] = kRoot;
+      pos[w] = offsets[wave + w];
+      done[w] = pos[w] >= offsets[wave + w + 1];
+      if (done[w]) --remaining;
+      else m->edges.prefetch(kRoot, letters[pos[w]]);
     }
-    ++m->version;
-    int8_t fresh = 0;
-    if (state != kRoot && !m->is_end[state]) {
-      m->enter_output(state, stack);
-      m->is_end[state] = 1;
-      m->kw_rank[state] = m->nb_sequences++;
-      ++m->reconstruct;
-      fresh = 1;
+    while (remaining > 0) {
+      for (int64_t w = 0; w < wn; ++w) {
+        if (done[w]) continue;
+        int32_t nxt = m->edges.find(endpoint[w], letters[pos[w]]);
+        if (nxt == kNoState) {
+          done[w] = true;
+          --remaining;
+          continue;
+        }
+        endpoint[w] = nxt;
+        if (++pos[w] >= offsets[wave + w + 1]) {
+          done[w] = true;
+          --remaining;
+        } else {
+          m->edges.prefetch(endpoint[w], letters[pos[w]]);
+        }
+      }
     }
-    if (end_states) end_states[i] = state;
-    if (new_flags) new_flags[i] = fresh;
+    for (int64_t w = 0; w < wn; ++w)
+      resume[w] = pos[w];
+    // phase B: in-order completion (finds may extend past the phase-A
+    // endpoint through nodes created for earlier keywords in this wave)
+    for (int64_t w = 0; w < wn; ++w) {
+      int64_t i = wave + w;
+      int32_t state = endpoint[w];
+      for (int64_t j = resume[w]; j < offsets[i + 1]; ++j) {
+        int32_t letter = letters[j];
+        int32_t nxt = m->edges.find(state, letter);
+        state = (nxt != kNoState) ? nxt
+                                  : m->enter_child(state, letter, scratch);
+      }
+      ++m->version;
+      int8_t fresh = 0;
+      if (state != kRoot && !m->is_end[state]) {
+        m->enter_output(state, stack);
+        m->is_end[state] = 1;
+        m->kw_rank[state] = m->nb_sequences++;
+        ++m->reconstruct;
+        fresh = 1;
+      }
+      if (end_states) end_states[i] = state;
+      if (new_flags) new_flags[i] = fresh;
+    }
   }
   if (deferred) {
     m->incremental = true;
