@@ -44,14 +44,18 @@ def encode_signs(machine, signs, V: int) -> np.ndarray:
 
 
 class DenseScanner:
-    def __init__(self, machine, n_streams: int = 512,
+    def __init__(self, machine, n_streams: "int | str" = "auto",
                  halo: Optional[int] = None,
                  tables: Optional[DenseTables] = None,
                  step_k: "int | str" = "auto",
                  step_budget_bytes: int = 128 * 1024 * 1024):
         self.machine = machine
         self.tables: DenseTables = tables if tables is not None else machine.compile()
-        self.n_streams = int(n_streams)
+        # "auto": scale the stream count with the input at layout time
+        # (clamped 512..16384 — sweeps show throughput is flat in B beyond
+        # a few thousand, and tiny inputs waste padding on huge B).
+        self._auto_streams = n_streams == "auto"
+        self.n_streams = 512 if self._auto_streams else int(n_streams)
         self.halo = int(halo) if halo is not None else max(
             self.tables.max_depth - 1, 0)
         self.V = self.tables.vocab_size
@@ -112,9 +116,14 @@ class DenseScanner:
 
     # -- layout ------------------------------------------------------------
 
+    def _streams_for(self, T: int) -> int:
+        if not self._auto_streams:
+            return self.n_streams
+        return max(512, min(16384, T // 4096))
+
     def _layout(self, ids: np.ndarray, head=None) -> Tuple[np.ndarray, int, int]:
         T = len(ids)
-        B = self.n_streams
+        B = self._streams_for(T)
         # Round the per-stream length to a small bucket: bounds padding waste
         # to <128*B symbols while keeping the number of distinct compiled
         # shapes low for steadily-sized inputs.
@@ -164,7 +173,7 @@ class DenseScanner:
         multiples of k so gram boundaries align."""
         k = self._stepped.k
         T = len(ids)
-        B = self.n_streams
+        B = self._streams_for(T)
         unit = 128 * k
         L = max(unit, -(-(-(-T // B)) // unit) * unit)
         blocks_tm, _ = blocking.block_time_major(ids, L, self._halo_sym,
