@@ -85,7 +85,6 @@ class Machine:
         self._b = _make_backend(backend, incremental)
         self.incremental = incremental
         self._values: dict[int, Any] = {}   # end-state -> user value
-        self._frozen_tables: Optional[DenseTables] = None
 
     # -- lifecycle / cursors ----------------------------------------------
 
