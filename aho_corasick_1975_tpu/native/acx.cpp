@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstring>
 #include <mutex>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -531,7 +532,11 @@ void acx_emit_delta(Machine* m, int32_t V, int32_t* delta) {
   std::vector<int32_t> order, child_start, child_list;
   m->depth_order(order);
   m->build_children(child_start, child_list);
-  for (int32_t s : order) {
+  // Rows at equal depth are independent (each copies its fail row, which
+  // is strictly shallower), so emit depth level by depth level with the
+  // rows of a level split across threads — table emission is memcpy-bound
+  // and parallelizes nearly linearly.
+  auto emit_row = [&](int32_t s) {
     int32_t* row = delta + static_cast<int64_t>(s) * V;
     if (s == kRoot) {
       std::memset(row, 0, sizeof(int32_t) * V);
@@ -543,6 +548,32 @@ void acx_emit_delta(Machine* m, int32_t V, int32_t* delta) {
       int32_t child = child_list[e];
       if (m->prev_letter[child] < V) row[m->prev_letter[child]] = child;
     }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t n_threads = hw > 2 ? hw / 2 : 1;
+  size_t S = order.size();
+  size_t level_start = 0;
+  while (level_start < S) {
+    int32_t d = m->depth[order[level_start]];
+    size_t level_end = level_start;
+    while (level_end < S && m->depth[order[level_end]] == d) ++level_end;
+    size_t n = level_end - level_start;
+    if (n < 4096 || n_threads <= 1) {
+      for (size_t i = level_start; i < level_end; ++i) emit_row(order[i]);
+    } else {
+      size_t per = (n + n_threads - 1) / n_threads;
+      std::vector<std::thread> workers;
+      for (size_t t = 0; t < n_threads; ++t) {
+        size_t lo = level_start + t * per;
+        size_t hi = std::min(level_end, lo + per);
+        if (lo >= hi) break;
+        workers.emplace_back([&, lo, hi] {
+          for (size_t i = lo; i < hi; ++i) emit_row(order[i]);
+        });
+      }
+      for (auto& w : workers) w.join();
+    }
+    level_start = level_end;
   }
 }
 
