@@ -30,7 +30,8 @@ _lib = None
 
 
 def _build() -> None:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           "-o", _SO, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
