@@ -77,17 +77,18 @@ def test_print_and_enumeration_parity(mode):
     assert got == ref_out
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
 def test_streaming_differential_fuzz(mode, seed, tmp_path):
     exe = build(f"stream_oracle{mode}",
                 [os.path.join(ORACLE_DIR, "stream_oracle.c")], mode)
     rng = random.Random(1000 + seed)
-    alphabet = "ab" if seed % 2 else "abcd"
+    alphabet = ["ab", "abcd", "a", "abcdefgh"][seed % 4]
     kws = sorted({"".join(rng.choice(alphabet)
-                          for _ in range(rng.randint(1, 7)))
-                  for _ in range(60)})
+                          for _ in range(rng.randint(1, 7 + seed)))
+                  for _ in range(30 + 40 * (seed % 3))})
     rng.shuffle(kws)
-    text = "".join(rng.choice(alphabet + "x") for _ in range(3000))
+    text = "".join(rng.choice(alphabet + "x")
+                   for _ in range(3000 + 2000 * (seed % 2)))
     dict_file = tmp_path / "dict.txt"
     text_file = tmp_path / "text.txt"
     dict_file.write_text("\n".join(kws) + "\n")
