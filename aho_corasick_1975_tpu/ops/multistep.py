@@ -38,6 +38,18 @@ from jax import lax
 from ..core.builder import DenseTables
 
 
+def round_cap(n: int) -> int:
+    """State capacity with headroom: ~n/8 rounded up to a unit of
+    max(1024, n/8), always leaving at least one unit of free growth.
+
+    Device tables are allocated at capacity so that Meyer-mode growth
+    (models/scanner.py:DenseScanner.refresh) updates rows in place —
+    stable array shapes, no XLA recompile — until the dictionary outgrows
+    the ~12.5% headroom."""
+    unit = max(1024, n >> 3)
+    return (n // unit + 1) * unit
+
+
 @dataclass
 class SteppedTables:
     k: int                      # symbols per gather
@@ -62,20 +74,100 @@ def choose_k(n_states: int, vocab_size: int, budget_bytes: int,
     return k
 
 
+def compose_rows(delta: np.ndarray, nb: np.ndarray, rows: np.ndarray,
+                 k: int) -> tuple:
+    """k-gram composition restricted to a subset of state rows.
+
+    Returns (d [R, V^k] int32 landing states, cnt [R, V^k] int64 summed
+    match counts). Row s of the full stepped table depends only on
+    delta[s, :] and on delta/nb of states within k forward steps of s, so
+    an incremental refresh (models/scanner.py:DenseScanner.refresh) can
+    recompute exactly the affected rows with this."""
+    R = len(rows)
+    d = delta[rows]                          # [R, V]
+    cnt = nb[d].astype(np.int64)
+    for _ in range(k - 1):
+        d2 = delta[d]                        # [R, G, V]
+        cnt = (cnt[..., None] + nb[d2]).reshape(R, -1)
+        d = d2.reshape(R, -1)
+    return d, cnt
+
+
+def stepped_delta_cells(old: DenseTables, new: DenseTables, k: int,
+                        slab: int = 1 << 16):
+    """Exact changed-cell set of the k-gram stepped table between snapshots.
+
+    Row-level invalidation is useless here: fail-collapsed rows are globally
+    coupled (every state's row lands in shallow states, so one new trie edge
+    on a depth-1/2 state "dirties" every row) — but only a few CELLS per row
+    actually change (the grams routed through the changed edge). This walks
+    the dependency structure cell-exactly:
+
+        stepped[s, c_1..c_k] depends on the hop cells delta[m_{i-1}, c_i]
+        and the hop counts nb[m_i] along m_0 = s, m_i = delta[m_{i-1}, c_i].
+
+    dirty_j[m, g] marks j-gram tails from m whose value changed; it is built
+    bottom-up with dirty_1 = cell-diff | nb-diff of the landing state, and
+    dirty_{j+1}[m, c.g] = dirty_1[m, c] | dirty_j[delta[m,c], g].
+
+    Returns (cells, land, cnt): flat int32 indices into the [S_new * V^k]
+    stepped table, the recomputed landing states, and the recomputed int64
+    k-gram counts. Used by models/scanner.py:DenseScanner.refresh to scatter
+    an online insertion into the device table without a rebuild."""
+    assert k >= 2
+    S_old = old.n_states
+    delta, nb = new.delta, new.nb_outputs
+    S_new, V = delta.shape
+    dirty1 = np.ones((S_new, V), dtype=bool)
+    np.not_equal(old.delta, delta[:S_old], out=dirty1[:S_old])
+    nbD = np.ones(S_new, dtype=bool)
+    np.not_equal(old.nb_outputs, nb[:S_old], out=nbD[:S_old])
+    dirty1 |= nbD[delta]
+    dirty = dirty1
+    for _ in range(k - 2):
+        G = dirty.shape[1]
+        dirty = (dirty1[:, :, None] | dirty[delta]).reshape(S_new, V * G)
+    G = dirty.shape[1]
+    Vk = V * G
+    out_cells, out_land, out_cnt = [], [], []
+    for lo in range(0, S_new, slab):
+        hi = min(S_new, lo + slab)
+        mask = dirty1[lo:hi, :, None] | dirty[delta[lo:hi]]   # [R, V, G]
+        r, g = np.nonzero(mask.reshape(hi - lo, Vk))
+        if not len(r):
+            continue
+        m = (r + lo).astype(np.int64)
+        out_cells.append((m * Vk + g).astype(np.int32))
+        cnt = np.zeros(len(r), np.int64)
+        gg = g.astype(np.int64)
+        for i in range(k):
+            c = gg // (V ** (k - 1 - i)) % V
+            m = delta[m, c]
+            cnt += nb[m]
+        out_land.append(m.astype(np.int32))
+        out_cnt.append(cnt)
+    if not out_cells:
+        z = np.zeros(0, np.int32)
+        return z, z, np.zeros(0, np.int64)
+    return (np.concatenate(out_cells), np.concatenate(out_land),
+            np.concatenate(out_cnt))
+
+
 def build_stepped(tables: DenseTables, k: int) -> SteppedTables:
     """Compose delta/nb_outputs over k-grams and pack."""
     delta = tables.delta                     # [S, V]
-    nb = tables.nb_outputs
     S, V = delta.shape
-    d = delta                                # [S, G]
-    cnt = nb[delta].astype(np.int64)         # counts accumulated per gram
-    for _ in range(k - 1):
-        d2 = delta[d]                        # [S, G, V]
-        cnt = (cnt[..., None] + nb[d2]).reshape(S, -1)
-        d = d2.reshape(S, -1)
+    d, cnt = compose_rows(delta, tables.nb_outputs,
+                          np.arange(S, dtype=np.int64), k)
     max_cnt = int(cnt.max()) if cnt.size else 0
     count_bits = max(1, int(max_cnt).bit_length()) if max_cnt else 1
     state_bits = max(1, int(S - 1).bit_length())
+    # Headroom (up to 3 bits = 8x count growth, plus room for the state
+    # capacity padding) so incremental refreshes (scanner.refresh) rarely
+    # hit the count-width fallback when online insertions raise a count.
+    grow_bits = max(1, int(round_cap(S) - 1).bit_length())
+    count_bits = max(count_bits,
+                     min(count_bits + 3, 31 - max(state_bits, grow_bits)))
     if state_bits + count_bits <= 31:
         packed = ((d.astype(np.int64) << count_bits) | cnt).astype(np.int32)
         return SteppedTables(k=k, V=V, count_bits=count_bits,
