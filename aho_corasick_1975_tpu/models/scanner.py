@@ -194,6 +194,13 @@ class DenseScanner:
         session sees the refreshed dictionary from its next chunk on
         (snapshot analogue of the reference's "new keywords affect
         subsequent symbols only").
+
+        Concurrency: refresh() donates the device buffers it replaces, so
+        it must be serialized against scans ON THE SAME SCANNER by the
+        caller (one lock around scan/refresh — see examples/serving_demo.py).
+        The reference takes the machine mutex for insertion and scans
+        lock-free (c:295,433); here insertion is likewise safe anytime,
+        and only the snapshot swap needs exclusion.
         """
         t0 = time.perf_counter()
         new = self.machine.compile()
