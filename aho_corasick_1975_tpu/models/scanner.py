@@ -14,55 +14,17 @@ exact (proof in ops/blocking.py).
 from __future__ import annotations
 
 import time
-from functools import lru_cache, partial
 from typing import Any, List, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.builder import DenseTables
 from ..ops import blocking
 from ..ops.decode import MatchEvent, decode_matches
-from ..ops.multistep import round_cap as _round_cap
 from ..ops.scan_xla import (make_blocked_count, make_blocked_scan,
                             make_sequential_scan)
-
-
-@lru_cache(maxsize=None)
-def _make_row_scatter(width: int):
-    """Jitted in-place row scatter on a flat table viewed as [cap, width].
-
-    Row-level indices (R of them, not R*width element indices) keep the
-    transfer and the device scatter cheap; the table buffer is donated, so
-    XLA updates it in place (no 2x table footprint during a refresh)."""
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def scatter(table, rows, vals):
-        if width == 1:
-            return table.at[rows].set(vals)
-        return (table.reshape(-1, width).at[rows].set(vals)).reshape(-1)
-
-    return scatter
-
-
-def _scatter_rows(table, rows: np.ndarray, vals: np.ndarray, width: int):
-    """Scatter in fixed-size chunks so each width compiles exactly ONE
-    scatter executable per process — a refresh must never wait on XLA (a
-    fresh compile costs seconds on TPU, dwarfing the scatter itself).
-    Chunks are padded by repeating the last row; duplicate indices with
-    identical values are a benign no-op."""
-    chunk = max(1024, (1 << 18) // width)
-    fn = _make_row_scatter(width)
-    for lo in range(0, len(rows), chunk):
-        r = rows[lo:lo + chunk]
-        v = vals[lo:lo + chunk]
-        if len(r) < chunk:
-            pad = chunk - len(r)
-            r = np.concatenate([r, np.full(pad, r[-1], r.dtype)])
-            v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
-        table = fn(table, jnp.asarray(r), jnp.asarray(v))
-    return table
+from .snapshot import DeviceSnapshot
 
 
 def encode_signs(machine, signs, V: int) -> np.ndarray:
@@ -89,75 +51,74 @@ class DenseScanner:
                  step_k: "int | str" = "auto",
                  step_budget_bytes: int = 128 * 1024 * 1024):
         self.machine = machine
-        self.tables: DenseTables = tables if tables is not None else machine.compile()
-        self._ctor = (n_streams, halo, step_k, step_budget_bytes)
         self._halo_auto = halo is None
         # "auto": scale the stream count with the input at layout time
         # (clamped 512..16384 — sweeps show throughput is flat in B beyond
         # a few thousand, and tiny inputs waste padding on huge B).
         self._auto_streams = n_streams == "auto"
         self.n_streams = 512 if self._auto_streams else int(n_streams)
+        # Device tables live in a capacity-padded snapshot so that refresh()
+        # can grow the dictionary in place with stable shapes.
+        self._snap = DeviceSnapshot(
+            tables if tables is not None else machine.compile(),
+            step_k=step_k, step_budget_bytes=step_budget_bytes)
         self.halo = int(halo) if halo is not None else max(
             self.tables.max_depth - 1, 0)
-        self.V = self.tables.vocab_size
-        # Device tables are capacity-padded (never-read tail rows) so that
-        # refresh() can grow the dictionary in place with stable shapes.
-        S = self.tables.n_states
-        self._cap = _round_cap(S)
-        self._delta_host = np.zeros((self._cap, self.V), np.int32)
-        self._delta_host[:S] = self.tables.delta
-        self._nb_host = np.zeros(self._cap, np.int32)
-        self._nb_host[:S] = self.tables.nb_outputs
-        self._dflat = jnp.asarray(self._delta_host.reshape(-1))
-        self._nb_out = jnp.asarray(self._nb_host)
+        self.stats: dict = {}
+        self._bind_kernels()
+
+    # Snapshot delegation (the snapshot owns tables + device arrays; the
+    # scanner owns kernels, layout, and sessions).
+    @property
+    def tables(self) -> DenseTables:
+        return self._snap.tables
+
+    @property
+    def V(self) -> int:
+        return self._snap.V
+
+    @property
+    def step_k(self) -> int:
+        return self._snap.step_k
+
+    @property
+    def _stepped(self):
+        return self._snap.stepped
+
+    @property
+    def _st_dev(self):
+        return self._snap.st_dev
+
+    @property
+    def _dflat(self):
+        return self._snap.dflat
+
+    @property
+    def _nb_out(self):
+        return self._snap.nb_out
+
+    @property
+    def _cap(self) -> int:
+        return self._snap.cap
+
+    def _bind_kernels(self) -> None:
+        """(Re)bind jitted kernels to the snapshot's current geometry.
+
+        The kernel factories are lru-cached on their constants, so
+        rebinding after a refresh/rebuild compiles something new only when
+        V / halo / k / count_bits actually changed."""
+        from ..ops import multistep as ms
         self._blocked_scan = make_blocked_scan(self.V)
         self._blocked_count = make_blocked_count(self.V, self.halo)
         self._seq_scan = make_sequential_scan(self.V)
-        self.stats: dict = {}
-        # k-char stepped count path (ops/multistep.py): one gather per k
-        # symbols — the gather-rate lever that dominates TPU throughput.
-        from ..ops import multistep as ms
-        if step_k == "auto":
-            self.step_k = ms.choose_k(self.tables.n_states, self.V,
-                                      step_budget_bytes)
-        else:
-            self.step_k = max(1, int(step_k))
-        self._stepped = None
-        if self.step_k > 1:
-            st = ms.build_stepped(self.tables, self.step_k)
-            # the unpacked fallback needs two tables (8 bytes/entry);
-            # degrade k until the actual footprint fits the budget
-            while (st.packed is None and self.step_k > 1 and
-                   self.tables.n_states * (self.V ** st.k) * 8
-                   > step_budget_bytes):
-                self.step_k -= 1
-                st = ms.build_stepped(self.tables, self.step_k) \
-                    if self.step_k > 1 else None
-                if st is None:
-                    break
-            if st is None or self.step_k <= 1:
-                self.step_k = max(1, self.step_k)
-                self._stepped = None
-                return
-            self._stepped = st
+        st = self._snap.stepped
+        if st is not None:
             self._halo_steps = -(-self.halo // st.k)
             self._halo_sym = self._halo_steps * st.k
             if st.packed is not None:
-                self._packed_host = np.zeros((self._cap, st.Vk), np.int32)
-                self._packed_host[:S] = st.packed.reshape(S, st.Vk)
-                st.packed = self._packed_host[:S].reshape(-1)
-                self._st_dev = (jnp.asarray(self._packed_host.reshape(-1)),)
                 self._stepped_count = ms.make_stepped_count(
                     st.V, st.k, st.Vk, st.count_bits, self._halo_steps)
             else:
-                self._dk_host = np.zeros((self._cap, st.Vk), np.int32)
-                self._dk_host[:S] = st.delta_k.reshape(S, st.Vk)
-                self._ck_host = np.zeros((self._cap, st.Vk), np.int32)
-                self._ck_host[:S] = st.cnt_k.reshape(S, st.Vk)
-                st.delta_k = self._dk_host[:S].reshape(-1)
-                st.cnt_k = self._ck_host[:S].reshape(-1)
-                self._st_dev = (jnp.asarray(self._dk_host.reshape(-1)),
-                                jnp.asarray(self._ck_host.reshape(-1)))
                 self._stepped_count = ms.make_stepped_count_unpacked(
                     st.V, st.k, st.Vk, self._halo_steps)
 
@@ -179,11 +140,10 @@ class DenseScanner:
         of rebuilding and re-uploading the O(S*V^k) stepped table it
 
         1. re-emits dense tables (host, O(S*V)),
-        2. diffs them against the pinned snapshot -> changed-state set D,
-        3. recomputes only stepped rows whose <=k-step forward reach
-           intersects D (row s depends on delta[s,:] and on delta/nb of its
-           1..k-step successors, nothing else — ops/multistep.compose_rows),
-        4. scatters those rows into the capacity-padded device tables
+        2. diffs them against the pinned snapshot,
+        3. recomputes exactly the stepped-table CELLS routed through a
+           changed edge (ops/multistep.stepped_delta_cells),
+        4. scatters them into the capacity-padded device tables
            (donated buffers: in-place, no shape change, no XLA recompile).
 
         Returns True for the in-place path, False when it fell back to a
@@ -204,114 +164,25 @@ class DenseScanner:
         """
         t0 = time.perf_counter()
         new = self.machine.compile()
-        old = self.tables
-        if new.version == old.version:
+        if new.version == self.tables.version:
             return True
-        if new.vocab_size != self.V or new.n_states > self._cap:
-            return self._full_reload()
-
-        S_old, S_new = old.n_states, new.n_states
-        changed = np.zeros(S_new, dtype=bool)
-        changed[:S_old] = (
-            np.any(old.delta != new.delta[:S_old], axis=1)
-            | (old.nb_outputs != new.nb_outputs[:S_old]))
-        changed[S_old:] = True
-        rows1 = np.flatnonzero(changed).astype(np.int32)
-        n_cells = 0
-
-        if len(rows1):
-            # Stepped table first: overflow/size checks may still force a
-            # full reload, and the in-place updates must be all-or-nothing.
-            stepped_update = None
-            if self._stepped is not None:
-                st = self._stepped
-                from ..ops import multistep as ms
-                cells, land, cnt = ms.stepped_delta_cells(old, new, st.k)
-                n_cells = len(cells)
-                # Past ~1/4 of the table the plain rebuild+upload wins over
-                # recompute+scatter (measured in bench_refresh.py); below
-                # 64k cells either path is trivial, so stay in place.
-                if n_cells > max(S_new * st.Vk // 4, 1 << 16):
-                    return self._full_reload()
-                if st.packed is not None:
-                    max_cnt = int(cnt.max()) if cnt.size else 0
-                    state_bits = max(1, int(S_new - 1).bit_length())
-                    if (max_cnt.bit_length() > st.count_bits
-                            or state_bits + st.count_bits > 31):
-                        return self._full_reload()
-                    vals = ((land.astype(np.int64) << st.count_bits)
-                            | cnt).astype(np.int32)
-                    stepped_update = ("packed", cells, vals)
-                else:
-                    stepped_update = ("unpacked", cells, land,
-                                      cnt.astype(np.int32))
-
-            # 1-char tables (scan_states / find_matches / fallback count).
-            dvals = new.delta[rows1]
-            nvals = new.nb_outputs[rows1]
-            self._delta_host[rows1] = dvals
-            self._nb_host[rows1] = nvals
-            self._dflat = _scatter_rows(self._dflat, rows1, dvals, self.V)
-            self._nb_out = _scatter_rows(self._nb_out, rows1, nvals, 1)
-
-            if stepped_update is not None:
-                st = self._stepped
-                if stepped_update[0] == "packed":
-                    _, cells, vals = stepped_update
-                    self._packed_host.reshape(-1)[cells] = vals
-                    st.packed = self._packed_host[:S_new].reshape(-1)
-                    self._st_dev = (_scatter_rows(self._st_dev[0], cells,
-                                                  vals, 1),)
-                else:
-                    _, cells, land, c32 = stepped_update
-                    self._dk_host.reshape(-1)[cells] = land
-                    self._ck_host.reshape(-1)[cells] = c32
-                    st.delta_k = self._dk_host[:S_new].reshape(-1)
-                    st.cnt_k = self._ck_host[:S_new].reshape(-1)
-                    self._st_dev = (
-                        _scatter_rows(self._st_dev[0], cells, land, 1),
-                        _scatter_rows(self._st_dev[1], cells, c32, 1))
-
-        self.tables = new
+        status = self._snap.refresh(new)
         self._refresh_halo()
-        self._record("refresh", len(rows1), time.perf_counter() - t0)
-        self.stats["refresh_rows"] = int(len(rows1))
-        self.stats["refresh_cells"] = int(n_cells)
-        return True
+        self._bind_kernels()
+        self._record("refresh", self._snap.last_refresh.get("rows", 0),
+                     time.perf_counter() - t0)
+        self.stats["refresh_rows"] = self._snap.last_refresh.get("rows", 0)
+        self.stats["refresh_cells"] = self._snap.last_refresh.get("cells", 0)
+        return status != "rebuild"
 
     def _refresh_halo(self) -> None:
         """Grow the halo when a new keyword exceeds it (auto-halo mode).
 
         Rounded up to a multiple of 8 on growth so steady keyword-length
-        creep doesn't recompile the count kernel every refresh."""
+        creep doesn't force a fresh count-kernel compile every refresh."""
         need = max(self.tables.max_depth - 1, 0)
-        if not self._halo_auto or need <= self.halo:
-            return
-        self.halo = -(-need // 8) * 8
-        self._blocked_count = make_blocked_count(self.V, self.halo)
-        if self._stepped is not None:
-            from ..ops import multistep as ms
-            st = self._stepped
-            hs = -(-self.halo // st.k)
-            if hs != self._halo_steps:
-                self._halo_steps = hs
-                self._halo_sym = hs * st.k
-                if st.packed is not None:
-                    self._stepped_count = ms.make_stepped_count(
-                        st.V, st.k, st.Vk, st.count_bits, hs)
-                else:
-                    self._stepped_count = ms.make_stepped_count_unpacked(
-                        st.V, st.k, st.Vk, hs)
-
-    def _full_reload(self) -> bool:
-        """Rebuild from scratch in place (same object identity, so open
-        sessions and caller references stay valid)."""
-        stats = self.stats
-        n_streams, halo, step_k, budget = self._ctor
-        self.__init__(self.machine, n_streams=n_streams, halo=halo,
-                      step_k=step_k, step_budget_bytes=budget)
-        self.stats = stats
-        return False
+        if self._halo_auto and need > self.halo:
+            self.halo = -(-need // 8) * 8
 
     # -- encoding ----------------------------------------------------------
 

@@ -17,6 +17,7 @@ host-count-aware.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -25,6 +26,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..models.snapshot import DeviceSnapshot
 from ..ops import multistep as ms
 from ..ops.scan_xla import blocked_count_core, window_layout
 from .mesh import DATA_AXIS
@@ -50,6 +52,7 @@ def _right_shift_halo(ids_local, halo: int, axis_name: str, n_dev: int):
                         perm=[(i, i + 1) for i in range(n_dev - 1)])
 
 
+@lru_cache(maxsize=None)
 def make_sharded_count(mesh: Mesh, V: int, halo: int,
                        n_streams_per_device: int = 256,
                        axis_name: str = DATA_AXIS):
@@ -82,6 +85,7 @@ def make_sharded_count(mesh: Mesh, V: int, halo: int,
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
 def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
                                count_bits: int, halo_steps: int,
                                n_streams_per_device: int = 256,
@@ -112,6 +116,7 @@ def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
 def make_sharded_scan_states(mesh: Mesh, V: int, halo: int,
                              n_streams_per_device: int = 256,
                              axis_name: str = DATA_AXIS):
@@ -150,6 +155,7 @@ def make_sharded_scan_states(mesh: Mesh, V: int, halo: int,
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
 def make_sharded_hits(mesh: Mesh, V: int, halo: int, max_hits_per_shard: int,
                       n_streams_per_device: int = 256,
                       axis_name: str = DATA_AXIS):
@@ -215,38 +221,87 @@ class ShardedScanner:
         self.machine = machine
         self.mesh = mesh
         self.axis_name = axis_name
-        self.tables = tables if tables is not None else machine.compile()
-        self.halo = max(self.tables.max_depth - 1, 0)
-        self.V = self.tables.vocab_size
         self.n_dev = mesh.shape[axis_name]
         repl = NamedSharding(mesh, P())
         self._shard = NamedSharding(mesh, P(axis_name))
-        self._dflat = jax.device_put(
-            jnp.asarray(self.tables.delta.reshape(-1)), repl)
-        self._nb_out = jax.device_put(
-            jnp.asarray(self.tables.nb_outputs), repl)
-        self._count = make_sharded_count(mesh, self.V, self.halo,
-                                         n_streams_per_device, axis_name)
-        self._scan = make_sharded_scan_states(mesh, self.V, self.halo,
-                                              n_streams_per_device, axis_name)
+        # Replicated capacity-padded snapshot (same refresh machinery as
+        # DenseScanner; the sharded kernels only take packed stepped tables).
+        self._snap = DeviceSnapshot(
+            tables if tables is not None else machine.compile(),
+            step_k=step_k, step_budget_bytes=step_budget_bytes,
+            place=lambda a: jax.device_put(jnp.asarray(a), repl),
+            packed_only=True)
+        self.halo = max(self.tables.max_depth - 1, 0)
         self._n_streams_per_device = n_streams_per_device
-        self._hits_fns: dict = {}
-        # k-gram packed fast count (mirrors DenseScanner.step_k)
-        if step_k == "auto":
-            self.step_k = ms.choose_k(self.tables.n_states, self.V,
-                                      step_budget_bytes)
-        else:
-            self.step_k = max(1, int(step_k))
-        self._stepped = None
-        if self.step_k > 1:
-            st = ms.build_stepped(self.tables, self.step_k)
-            if st.packed is not None:
-                self._stepped = st
-                self._halo_steps = -(-self.halo // st.k)
-                self._st_packed = jax.device_put(jnp.asarray(st.packed), repl)
-                self._stepped_count = make_sharded_stepped_count(
-                    mesh, st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
-                    n_streams_per_device, axis_name)
+        self._bind_kernels()
+
+    # Snapshot delegation (mirrors DenseScanner).
+    @property
+    def tables(self):
+        return self._snap.tables
+
+    @property
+    def V(self) -> int:
+        return self._snap.V
+
+    @property
+    def step_k(self) -> int:
+        return self._snap.step_k
+
+    @property
+    def _stepped(self):
+        return self._snap.stepped
+
+    @property
+    def _dflat(self):
+        return self._snap.dflat
+
+    @property
+    def _nb_out(self):
+        return self._snap.nb_out
+
+    @property
+    def _st_packed(self):
+        return self._snap.st_dev[0]
+
+    @property
+    def version(self) -> int:
+        return self.tables.version
+
+    def _bind_kernels(self) -> None:
+        """(Re)bind the shard_map kernels to the snapshot's geometry; the
+        factories are lru-cached on their constants, so this compiles
+        something new only when V / halo / k / count_bits changed."""
+        self._count = make_sharded_count(self.mesh, self.V, self.halo,
+                                         self._n_streams_per_device,
+                                         self.axis_name)
+        self._scan = make_sharded_scan_states(self.mesh, self.V, self.halo,
+                                              self._n_streams_per_device,
+                                              self.axis_name)
+        st = self._snap.stepped
+        if st is not None:
+            self._halo_steps = -(-self.halo // st.k)
+            self._stepped_count = make_sharded_stepped_count(
+                self.mesh, st.V, st.k, st.Vk, st.count_bits,
+                self._halo_steps, self._n_streams_per_device, self.axis_name)
+
+    def refresh(self) -> bool:
+        """Catch the replicated device snapshot up with the machine's
+        current dictionary — the mesh-wide sibling of DenseScanner.refresh
+        (same semantics: True = in-place cell scatter, False = transparent
+        full rebuild; serialize against in-flight scans, buffers are
+        donated). The scatter executes replicated on every device, so the
+        update costs one host->device transfer of the changed cells and no
+        collective traffic."""
+        new = self.machine.compile()
+        if new.version == self.tables.version:
+            return True
+        status = self._snap.refresh(new)
+        need = max(new.max_depth - 1, 0)
+        if need > self.halo:
+            self.halo = -(-need // 8) * 8
+        self._bind_kernels()
+        return status != "rebuild"
 
     def _pad_and_place(self, ids: np.ndarray):
         T = len(ids)
@@ -295,12 +350,12 @@ class ShardedScanner:
         if len(ids) == 0:
             return []
         key = int(max_hits_per_shard)
-        if key not in self._hits_fns:
-            self._hits_fns[key] = make_sharded_hits(
-                self.mesh, self.V, self.halo, key,
-                self._n_streams_per_device, self.axis_name)
+        # lru-cached factory: recompiles only for a new (halo, max_hits,...)
+        hits_fn = make_sharded_hits(self.mesh, self.V, self.halo, key,
+                                    self._n_streams_per_device,
+                                    self.axis_name)
         placed, T = self._pad_and_place(ids)
-        positions, sts, n_hit_pos = self._hits_fns[key](
+        positions, sts, n_hit_pos = hits_fn(
             self._dflat, self._nb_out, placed)
         n_hit_pos = np.asarray(n_hit_pos)
         if int(n_hit_pos.max()) > key:

@@ -75,25 +75,31 @@ class MatchHandler(socketserver.StreamRequestHandler):
             cmd = cmd.upper()
             if cmd == "QUIT":
                 break
-            elif cmd == "ADD":
-                server.add_keyword(arg)
-                self._reply("OK")
-            elif cmd == "FEED":
-                server.catch_up()
-                with server.device_lock:
-                    n = session.feed_count(arg)
-                self._reply(f"{n} {session.total}")
-            elif cmd == "MATCHES":
-                server.catch_up()
-                with server.device_lock:
-                    hits = session.feed_matches(arg)
-                for ev, mt in hits:
-                    self._reply(f"{ev.start} {ev.end} {mt.text()}")
-                self._reply(".")
-            elif cmd == "TOTAL":
-                self._reply(str(session.total))
-            else:
-                self._reply(f"ERR unknown command {cmd!r}")
+            try:
+                self._dispatch(server, session, cmd, arg)
+            except Exception as e:  # keep the connection alive
+                self._reply(f"ERR {type(e).__name__}: {e}")
+
+    def _dispatch(self, server, session, cmd: str, arg: str) -> None:
+        if cmd == "ADD":
+            server.add_keyword(arg)
+            self._reply("OK")
+        elif cmd == "FEED":
+            server.catch_up()
+            with server.device_lock:
+                n = session.feed_count(arg)
+            self._reply(f"{n} {session.total}")
+        elif cmd == "MATCHES":
+            server.catch_up()
+            with server.device_lock:
+                hits = session.feed_matches(arg)
+            for ev, mt in hits:
+                self._reply(f"{ev.start} {ev.end} {mt.text()}")
+            self._reply(".")
+        elif cmd == "TOTAL":
+            self._reply(str(session.total))
+        else:
+            self._reply(f"ERR unknown command {cmd!r}")
 
     def _reply(self, s: str) -> None:
         self.wfile.write((s + "\n").encode("utf-8"))

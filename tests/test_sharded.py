@@ -100,3 +100,49 @@ def test_sharded_allgather_hit_extraction(mesh8):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="over max_hits_per_shard"):
         sc.find_matches(text, max_hits_per_shard=1)
+
+
+def test_sharded_refresh_matches_fresh(mesh8):
+    """Mesh-wide refresh parity: in-place cell scatter on the replicated
+    tables equals a freshly constructed ShardedScanner."""
+    rng = random.Random(7)
+    m = ac.Machine()
+    for _ in range(40):
+        m.insert_keyword("".join(rng.choice("abcd")
+                                 for _ in range(rng.randint(1, 6))))
+    sharded = ShardedScanner(m, mesh8, n_streams_per_device=8, step_k=2)
+    text = "".join(rng.choice("abcd ") for _ in range(4096))
+    base = sharded.count(text)
+    for _ in range(10):
+        m.insert_keyword("".join(rng.choice("abcd")
+                                 for _ in range(rng.randint(1, 6))))
+    in_place = sharded.refresh()
+    fresh = ShardedScanner(m, mesh8, n_streams_per_device=8, step_k=2)
+    assert sharded.count(text) == fresh.count(text) >= base
+    np.testing.assert_array_equal(sharded.scan_states(text),
+                                  fresh.scan_states(text))
+    single = m.scanner(n_streams=16, step_k=2)
+    assert sharded.count(text) == single.count(text)
+    assert sharded.version == m.version
+    assert isinstance(in_place, bool)
+
+
+def test_sharded_refresh_halo_growth(mesh8):
+    """A refreshed-in long keyword spanning shard edges is still exact."""
+    m = ac.Machine()
+    m.insert_keyword("spanner")
+    sharded = ShardedScanner(m, mesh8, n_streams_per_device=4)
+    long_kw = "spannerspannerspanner"       # depth 21 > old halo 6
+    m.insert_keyword(long_kw)
+    sharded.refresh()
+    assert sharded.halo >= len(long_kw) - 1
+    T = 8 * 64
+    text = ["."] * T
+    start = 64 * 3 - 10                     # span a shard edge
+    for k, ch in enumerate(long_kw):
+        text[start + k] = ch
+    text = "".join(text)
+    # 'spanner' occurs 3x inside long_kw, plus the long keyword itself
+    assert sharded.count(text) == 4
+    single = m.scanner(n_streams=16)
+    assert sharded.count(text) == single.count(text)
