@@ -93,27 +93,30 @@ def compose_rows(delta: np.ndarray, nb: np.ndarray, rows: np.ndarray,
     return d, cnt
 
 
-def stepped_delta_cells(old: DenseTables, new: DenseTables, k: int,
-                        slab: int = 1 << 16):
+def stepped_delta_cells(old: DenseTables, new: DenseTables, k: int):
     """Exact changed-cell set of the k-gram stepped table between snapshots.
 
     Row-level invalidation is useless here: fail-collapsed rows are globally
     coupled (every state's row lands in shallow states, so one new trie edge
     on a depth-1/2 state "dirties" every row) — but only a few CELLS per row
-    actually change (the grams routed through the changed edge). This walks
-    the dependency structure cell-exactly:
+    actually change (the grams routed through the changed edge). The
+    dependency structure:
 
         stepped[s, c_1..c_k] depends on the hop cells delta[m_{i-1}, c_i]
         and the hop counts nb[m_i] along m_0 = s, m_i = delta[m_{i-1}, c_i].
 
     dirty_j[m, g] marks j-gram tails from m whose value changed; it is built
     bottom-up with dirty_1 = cell-diff | nb-diff of the landing state, and
-    dirty_{j+1}[m, c.g] = dirty_1[m, c] | dirty_j[delta[m,c], g].
+    dirty_{j+1}[m, c.g] = dirty_1[m, c] | dirty_j[delta[m,c], g]. The last
+    level is enumerated SPARSELY — per (s, c_1) pair, either all V^{k-1}
+    tails (own hop dirty) or the changed-tail list of the landing state — so
+    the cost is O(S*V + output cells), not O(S*V^k) (this is the refresh
+    latency floor for serving; see bench_refresh.py).
 
     Returns (cells, land, cnt): flat int32 indices into the [S_new * V^k]
     stepped table, the recomputed landing states, and the recomputed int64
-    k-gram counts. Used by models/scanner.py:DenseScanner.refresh to scatter
-    an online insertion into the device table without a rebuild."""
+    k-gram counts. Used by models/snapshot.py:DeviceSnapshot.refresh to
+    scatter an online insertion into the device table without a rebuild."""
     assert k >= 2
     S_old = old.n_states
     delta, nb = new.delta, new.nb_outputs
@@ -123,34 +126,61 @@ def stepped_delta_cells(old: DenseTables, new: DenseTables, k: int,
     nbD = np.ones(S_new, dtype=bool)
     np.not_equal(old.nb_outputs, nb[:S_old], out=nbD[:S_old])
     dirty1 |= nbD[delta]
+    # Tail levels below the top stay dense: G = V^(k-1) entries per state,
+    # only reached for k >= 3 where the budget already bounds S*V^(k-1).
     dirty = dirty1
     for _ in range(k - 2):
         G = dirty.shape[1]
         dirty = (dirty1[:, :, None] | dirty[delta]).reshape(S_new, V * G)
     G = dirty.shape[1]
     Vk = V * G
-    out_cells, out_land, out_cnt = [], [], []
-    for lo in range(0, S_new, slab):
-        hi = min(S_new, lo + slab)
-        mask = dirty1[lo:hi, :, None] | dirty[delta[lo:hi]]   # [R, V, G]
-        r, g = np.nonzero(mask.reshape(hi - lo, Vk))
-        if not len(r):
-            continue
-        m = (r + lo).astype(np.int64)
-        out_cells.append((m * Vk + g).astype(np.int32))
-        cnt = np.zeros(len(r), np.int64)
-        gg = g.astype(np.int64)
-        for i in range(k):
-            c = gg // (V ** (k - 1 - i)) % V
-            m = delta[m, c]
-            cnt += nb[m]
-        out_land.append(m.astype(np.int32))
-        out_cnt.append(cnt)
-    if not out_cells:
+
+    # -- sparse top level ---------------------------------------------------
+    t_cnt = dirty.sum(axis=1, dtype=np.int64)            # changed tails per state
+    sp, cp = np.nonzero(dirty1 | (t_cnt[delta] > 0))     # contributing pairs
+    if not len(sp):
         z = np.zeros(0, np.int32)
         return z, z, np.zeros(0, np.int64)
-    return (np.concatenate(out_cells), np.concatenate(out_land),
-            np.concatenate(out_cnt))
+    mp = delta[sp, cp]
+    full = dirty1[sp, cp]                                # own hop dirty -> all G
+    cnts = np.where(full, G, t_cnt[mp])
+    offs = np.cumsum(cnts) - cnts                        # output start per pair
+    total = int(cnts.sum())
+    tails_out = np.empty(total, np.int64)
+
+    fi = np.flatnonzero(full)
+    if len(fi):
+        idx = (offs[fi][:, None] + np.arange(G, dtype=np.int64)).reshape(-1)
+        tails_out[idx] = np.tile(np.arange(G, dtype=np.int64), len(fi))
+
+    si = np.flatnonzero(~full & (cnts > 0))
+    if len(si):
+        # CSR over the changed-tail lists of the (few) dirty states.
+        changed_states = np.flatnonzero(t_cnt > 0)
+        _, tails_vals = np.nonzero(dirty[changed_states])
+        tails_start = np.concatenate(
+            [[0], np.cumsum(t_cnt[changed_states])])[:-1]
+        inv = np.full(S_new, -1, np.int64)
+        inv[changed_states] = np.arange(len(changed_states))
+        lens = cnts[si]
+        src0 = tails_start[inv[mp[si]]]
+        inner = (np.arange(int(lens.sum()), dtype=np.int64)
+                 - np.repeat(np.cumsum(lens) - lens, lens))
+        tails_out[np.repeat(offs[si], lens) + inner] = \
+            tails_vals[np.repeat(src0, lens) + inner]
+
+    srep = np.repeat(sp.astype(np.int64), cnts)
+    grep = np.repeat(cp.astype(np.int64), cnts) * G + tails_out
+    cells = (srep * Vk + grep).astype(np.int32)
+
+    # -- recompute the cell values by walking the gram digits ---------------
+    m = srep
+    cnt = np.zeros(len(srep), np.int64)
+    for i in range(k):
+        c = grep // (V ** (k - 1 - i)) % V
+        m = delta[m, c]
+        cnt += nb[m]
+    return cells, m.astype(np.int32), cnt
 
 
 def build_stepped(tables: DenseTables, k: int) -> SteppedTables:

@@ -203,3 +203,34 @@ def test_refresh_on_1char_path_without_stepped_tables():
     m.insert_keyword("hehe")  # existing letters only
     assert sc.refresh() is True
     assert_equiv(sc, m, TEXT + " hehe", step_k=1)
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_stepped_delta_cells_reconstructs_new_table(k):
+    """Applying the extracted cell deltas onto the old stepped table must
+    reproduce the new one exactly (the invariant refresh() relies on)."""
+    rng = np.random.default_rng(11)
+    alphabet = "abc"
+    m = ac.Machine()
+    m.insert_keyword(alphabet)
+    old = m.compile()
+    for _ in range(25):
+        n = int(rng.integers(1, 8))
+        m.insert_keyword("".join(rng.choice(list(alphabet), n)))
+    new = m.compile()
+    cells, land, cnt = ms.stepped_delta_cells(old, new, k)
+
+    S_new, V = new.delta.shape
+    rows = np.arange(S_new, dtype=np.int64)
+    d_old, c_old = ms.compose_rows(old.delta, old.nb_outputs,
+                                   np.arange(old.n_states, dtype=np.int64), k)
+    d_new, c_new = ms.compose_rows(new.delta, new.nb_outputs, rows, k)
+    # start from the old table padded with garbage for the new rows
+    d_app = np.full_like(d_new, -7)
+    c_app = np.full_like(c_new, -7)
+    d_app[:old.n_states] = d_old
+    c_app[:old.n_states] = c_old
+    d_app.reshape(-1)[cells] = land
+    c_app.reshape(-1)[cells] = cnt
+    np.testing.assert_array_equal(d_app, d_new)
+    np.testing.assert_array_equal(c_app, c_new)
