@@ -78,6 +78,8 @@ def load_library():
         lib.acx_set_version.argtypes = [ct.c_void_p, i64]
         lib.acx_keyword_letters.restype = i64
         lib.acx_keyword_letters.argtypes = [ct.c_void_p, i32, p(i32), i64]
+        lib.acx_compose_pack.argtypes = [p(i32), p(i32), i64, i32, i32,
+                                         i32, p(i32)]
         lib.acx_kw_rank.restype = i64
         lib.acx_kw_rank.argtypes = [ct.c_void_p, i32]
         lib.acx_max_letter_id.restype = i32
@@ -351,3 +353,21 @@ class NativeBuilder:
             prev_state=prev_state.copy(), prev_letter=prev_letter.copy(),
             emit_start=emit_start, emit_state=emit_state,
             version=self.version, n_keywords=self.nb_sequences)
+
+
+def compose_pack(delta: np.ndarray, nb: np.ndarray, k: int,
+                 count_bits: int) -> np.ndarray:
+    """Threaded native k-gram composition into a packed stepped table
+    (acx_compose_pack) — the cold-start fast path used by
+    ops/multistep.build_stepped; the numpy composition remains the
+    fallback and the test oracle."""
+    lib = load_library()
+    S, V = delta.shape
+    delta = np.ascontiguousarray(delta, np.int32)
+    nb = np.ascontiguousarray(nb, np.int32)
+    out = np.empty(S * (V ** k), np.int32)
+    p32 = ct.POINTER(ct.c_int32)
+    lib.acx_compose_pack(delta.ctypes.data_as(p32), nb.ctypes.data_as(p32),
+                         ct.c_int64(S), ct.c_int32(V), ct.c_int32(k),
+                         ct.c_int32(count_bits), out.ctypes.data_as(p32))
+    return out

@@ -186,10 +186,16 @@ def stepped_delta_cells(old: DenseTables, new: DenseTables, k: int):
 def build_stepped(tables: DenseTables, k: int) -> SteppedTables:
     """Compose delta/nb_outputs over k-grams and pack."""
     delta = tables.delta                     # [S, V]
+    nb = tables.nb_outputs
     S, V = delta.shape
-    d, cnt = compose_rows(delta, tables.nb_outputs,
-                          np.arange(S, dtype=np.int64), k)
-    max_cnt = int(cnt.max()) if cnt.size else 0
+    # Exact max k-gram count by DP over tail lengths (O(S*V*k)):
+    #   h_j[m] = max_c (nb[delta[m,c]] + h_{j-1}[delta[m,c]]), h_0 = 0,
+    # so the O(S*V^k) int64 count intermediate is never materialized on
+    # the packed path.
+    h = np.zeros(S, np.int64)
+    for _ in range(k):
+        h = (nb[delta] + h[delta]).max(axis=1)
+    max_cnt = int(h.max()) if S else 0
     count_bits = max(1, int(max_cnt).bit_length()) if max_cnt else 1
     state_bits = max(1, int(S - 1).bit_length())
     # Headroom (up to 3 bits = 8x count growth, plus room for the state
@@ -199,10 +205,19 @@ def build_stepped(tables: DenseTables, k: int) -> SteppedTables:
     count_bits = max(count_bits,
                      min(count_bits + 3, 31 - max(state_bits, grow_bits)))
     if state_bits + count_bits <= 31:
-        packed = ((d.astype(np.int64) << count_bits) | cnt).astype(np.int32)
+        try:
+            # Threaded native compose+pack (native/acx.cpp) — one pass,
+            # no intermediates. Falls back to numpy when the native core
+            # is unavailable (the numpy path is also the test oracle).
+            from ..core.native import compose_pack
+            packed = compose_pack(delta, nb, k, count_bits)
+        except Exception:
+            d, cnt = compose_rows(delta, nb, np.arange(S, dtype=np.int64), k)
+            packed = (((d.astype(np.int64) << count_bits) | cnt)
+                      .astype(np.int32).reshape(-1))
         return SteppedTables(k=k, V=V, count_bits=count_bits,
-                             packed=packed.reshape(-1), delta_k=None,
-                             cnt_k=None)
+                             packed=packed, delta_k=None, cnt_k=None)
+    d, cnt = compose_rows(delta, nb, np.arange(S, dtype=np.int64), k)
     return SteppedTables(k=k, V=V, count_bits=0, packed=None,
                          delta_k=d.reshape(-1).astype(np.int32),
                          cnt_k=cnt.reshape(-1).astype(np.int32))

@@ -21,3 +21,22 @@ def test_make_test_target():
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "acx native tests passed" in out.stdout
+
+
+def test_compose_pack_matches_numpy_oracle():
+    """Native threaded k-gram compose (acx_compose_pack) == numpy compose."""
+    import numpy as np
+    from aho_corasick_1975_tpu.core.native import compose_pack
+    from aho_corasick_1975_tpu.ops import multistep as ms
+
+    rng = np.random.default_rng(5)
+    for k in (2, 3):
+        S, V = 137, 7
+        delta = rng.integers(0, S, (S, V)).astype(np.int32)
+        nb = rng.integers(0, 3, S).astype(np.int32)
+        bits = 6
+        native = compose_pack(delta, nb, k, bits)
+        d, cnt = ms.compose_rows(delta, nb, np.arange(S, dtype=np.int64), k)
+        oracle = (((d.astype(np.int64) << bits) | cnt)
+                  .astype(np.int32).reshape(-1))
+        np.testing.assert_array_equal(native, oracle)
