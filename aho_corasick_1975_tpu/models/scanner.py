@@ -245,6 +245,54 @@ class DenseScanner:
         self._record("count", len(ids), time.perf_counter() - t0)
         return n
 
+    def count_many(self, docs: Sequence[Sequence[Any]]) -> np.ndarray:
+        """Per-document match counts for a batch of independent documents,
+        in ONE device launch (serving batch scoring).
+
+        The reference scores one stream per machine cursor (c:433-448); a
+        batch of documents there is a Python-side loop. Here each document
+        occupies its own stream column of a single [L, B] launch: documents
+        start at the root, so no halo warm-up is needed, and streams are
+        padded with the OOV id 0 — vocab id 0 appears in no keyword, so it
+        transitions every state to the root and never emits (the reference's
+        modification [3], README.md:347), contributing exactly zero.
+
+        L is bucketed to power-of-two multiples of 128*k and B to multiples
+        of 8, so steadily-sized batches reuse one compiled kernel. Returns
+        an int64 array of len(docs) counts.
+        """
+        encoded = [self.encode(d) for d in docs]
+        n = len(encoded)
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        t0 = time.perf_counter()
+        k = self._stepped.k if self._stepped is not None else 1
+        unit = 128 * k
+        L = unit
+        longest = max(len(e) for e in encoded)
+        while L < longest:
+            L *= 2
+        B = -(-n // 8) * 8
+        tm = np.zeros((L, B), dtype=np.int32)
+        for j, e in enumerate(encoded):
+            tm[:len(e), j] = e
+        if self._stepped is not None:
+            from ..ops import multistep as ms
+            st = self._stepped
+            if st.packed is not None:
+                fn = ms.make_stepped_count(st.V, st.k, st.Vk,
+                                           st.count_bits, 0)
+            else:
+                fn = ms.make_stepped_count_unpacked(st.V, st.k, st.Vk, 0)
+            per_stream = fn(*self._st_dev, jnp.asarray(tm))
+        else:
+            fn = make_blocked_count(self.V, 0)
+            per_stream = fn(self._dflat, self._nb_out, jnp.asarray(tm))
+        out = np.asarray(per_stream)[:n].astype(np.int64)
+        self._record("count_many", sum(len(e) for e in encoded),
+                     time.perf_counter() - t0)
+        return out
+
     def _layout_stepped(self, ids: np.ndarray, head=None) -> np.ndarray:
         """Block layout for the k-stepped path: halo and block length both
         multiples of k so gram boundaries align."""
