@@ -27,10 +27,19 @@ from .models.machine import Cursor, Machine, Match
 ACM_CMP_DEFAULT = None  # i.e. Vocab identity_key
 
 # The reference fixes the algorithm variant at compile time via -DNMEYER_85
-# (c:596-600); here it is a per-machine constructor flag, and this constant
-# reports the *default* mode (Meyer 1985 incremental, like the reference's
-# default build).
+# and reports it through this constant (h:98, c:596-600). Here the mode is a
+# per-machine constructor flag, so the h:98 semantics live in
+# acm_incremental_string_matching(machine) below; this module constant only
+# reports the *default-build* mode (Meyer 1985 incremental, like the
+# reference's default build).
 ACM_INCREMENTAL_STRING_MATCHING = 1
+
+
+def acm_incremental_string_matching(machine: Machine) -> int:
+    """Reference h:98 semantics, per machine: 1 when this machine maintains
+    fail links incrementally on insertion (Meyer 1985), 0 when it rebuilds
+    lazily before the next match (AC75, the reference's -DNMEYER_85)."""
+    return 1 if machine.incremental else 0
 
 MatchHolder = Match  # type alias for reference-named code
 

@@ -31,6 +31,7 @@ feature (README.md:352-356; see SURVEY.md §7 "Insert-during-scan semantics").
 from __future__ import annotations
 
 import sys
+import threading
 from dataclasses import dataclass
 from typing import Any, Callable, IO, List, Optional
 
@@ -85,6 +86,14 @@ class Machine:
         self._b = _make_backend(backend, incremental)
         self.incremental = incremental
         self._values: dict[int, Any] = {}   # end-state -> user value
+        # Machine-wide insertion lock — the Python-level equivalent of the
+        # reference's machine mutex (aho_corasick.c:81, taken in both insert
+        # calls c:295,344). It makes (vocab registration, builder insert,
+        # value adoption) atomic, and compile() snapshots (vocab_size,
+        # tables) under the same lock, so a concurrent insert can never land
+        # between the vocab-size read and the table emission. Match and
+        # lookup paths stay lock-free, like the reference's scan (c:433).
+        self._lock = threading.RLock()
 
     # -- lifecycle / cursors ----------------------------------------------
 
@@ -96,8 +105,9 @@ class Machine:
 
     def insert_letter_of_keyword(self, cursor: Cursor, sign: Any) -> None:
         """ref acm_insert_letter_of_keyword (c:291-316)."""
-        letter = self.vocab.register(sign)
-        cursor.state = self._b.insert_letter(cursor.state, letter)
+        with self._lock:
+            letter = self.vocab.register(sign)
+            cursor.state = self._b.insert_letter(cursor.state, letter)
 
     def insert_end_of_keyword(self, cursor: Cursor, value: Any = None) -> Any:
         """ref acm_insert_end_of_keyword (c:340-363).
@@ -107,42 +117,48 @@ class Machine:
         is adopted only when the state holds none (first-writer-wins,
         c:357-359). Resets the cursor to the root (c:360).
         """
-        state = cursor.state
-        self._b.insert_end(state)
-        prev = self._values.get(state)
-        if prev is None and value is not None:
-            self._values[state] = value
-        cursor.state = ROOT
-        return prev
+        with self._lock:
+            state = cursor.state
+            self._b.insert_end(state)
+            prev = self._values.get(state)
+            if prev is None and value is not None:
+                self._values[state] = value
+            cursor.state = ROOT
+            return prev
 
     def insert_keyword(self, signs, value: Any = None) -> Any:
         """Convenience: insert a whole keyword (sequence of signs).
 
         Uses the native bulk path when available (one FFI call per keyword
         instead of one per sign); semantics identical to the per-sign loop."""
-        ids = [self.vocab.register(s) for s in signs]
-        if not ids:
-            raise ValueError("empty keyword (ref c:345)")
-        b = self._b
-        if hasattr(b, "insert_keywords_bulk"):
-            import numpy as np
-            ends, _ = b.insert_keywords_bulk(
-                np.asarray(ids, np.int32),
-                np.asarray([0, len(ids)], np.int64))
-            end = int(ends[0])
-            prev = self._values.get(end)
-            if prev is None and value is not None:
-                self._values[end] = value
-            return prev
-        cur = self.initiate()
-        for letter in ids:
-            cur.state = b.insert_letter(cur.state, letter)
-        return self.insert_end_of_keyword(cur, value)
+        with self._lock:
+            ids = [self.vocab.register(s) for s in signs]
+            if not ids:
+                raise ValueError("empty keyword (ref c:345)")
+            b = self._b
+            if hasattr(b, "insert_keywords_bulk"):
+                import numpy as np
+                ends, _ = b.insert_keywords_bulk(
+                    np.asarray(ids, np.int32),
+                    np.asarray([0, len(ids)], np.int64))
+                end = int(ends[0])
+                prev = self._values.get(end)
+                if prev is None and value is not None:
+                    self._values[end] = value
+                return prev
+            cur = self.initiate()
+            for letter in ids:
+                cur.state = b.insert_letter(cur.state, letter)
+            return self.insert_end_of_keyword(cur, value)
 
     def insert_keywords(self, keywords, values: Optional[List[Any]] = None
                         ) -> List[Any]:
         """Bulk-register many keywords; returns the previous value per
         keyword (None where fresh), following the duplicate protocol."""
+        with self._lock:
+            return self._insert_keywords_locked(keywords, values)
+
+    def _insert_keywords_locked(self, keywords, values):
         id_lists = [[self.vocab.register(s) for s in kw] for kw in keywords]
         if any(not ids for ids in id_lists):
             raise ValueError("empty keyword (ref c:345)")
@@ -256,8 +272,14 @@ class Machine:
         This is the host→device boundary: the whole goto/fail machinery
         (reference call stack §3.2 of SURVEY.md) is collapsed into a single
         total transition table; scanning becomes a gather recurrence.
+
+        Thread-safe against concurrent insertion: the snapshot of
+        (vocab_size, builder tables) is taken under the machine lock, the
+        same exclusion the reference's BFS reconstruction uses
+        (double-checked ``reconstruct`` under the mutex, c:389-394).
         """
-        return self._b.emit_tables(vocab_size=self.vocab.size)
+        with self._lock:
+            return self._b.emit_tables(vocab_size=self.vocab.size)
 
     def scanner(self, **kwargs):
         """Build a device scanner over the current snapshot

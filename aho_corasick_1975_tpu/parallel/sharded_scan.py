@@ -6,9 +6,11 @@ machine is a few MB of int32). A match can span a shard edge, so each shard
 receives the last ``halo`` symbols of its left neighbor via ``lax.ppermute``
 (shard 0 receives zeros = OOV, exactly the stream head), re-runs them from
 the root as warm-up (convergence proof in ops/blocking.py), then scans its
-own symbols with the same blocked kernel used single-chip. Totals reduce
-with ``psum`` — the TPU-native equivalent of the NCCL-class backend the
-reference never had (SURVEY.md §2c, §5 "Distributed communication backend").
+own symbols with the same blocked kernel used single-chip. Per-stream int32
+totals are combined with ``all_gather`` and summed on the host in int64 (a
+two-level reduction: no 2^31 mesh-wide cap) — collectives over ICI/DCN being
+the TPU-native equivalent of the NCCL-class backend the reference never had
+(SURVEY.md §2c, §5 "Distributed communication backend").
 
 Works unchanged on a multi-host mesh: shard_map + NamedSharding place the
 collectives on ICI within a slice and DCN across hosts; nothing here is
@@ -56,11 +58,17 @@ def _right_shift_halo(ids_local, halo: int, axis_name: str, n_dev: int):
 def make_sharded_count(mesh: Mesh, V: int, halo: int,
                        n_streams_per_device: int = 256,
                        axis_name: str = DATA_AXIS):
-    """Returns jitted count(dflat, nb_out, ids) -> total matches.
+    """Returns jitted count(dflat, nb_out, ids) -> per-stream totals
+    [n_dev, B] int32, replicated (all_gather).
 
     ids: int32 [T] with T divisible by the mesh size (caller pads with OOV;
     OOV lands on the root whose output count is 0, so padding is inert).
     dflat/nb_out replicated, ids sharded along ``axis_name``.
+
+    Two-level reduction: int32 per-stream accumulators on device (a single
+    stream holds < 2^31 matches), int64 grand total on the host — so a
+    sharded count has the same overflow bound as the single-chip path
+    instead of saturating at 2^31 across the whole mesh.
     """
     n_dev = mesh.shape[axis_name]
 
@@ -74,14 +82,14 @@ def make_sharded_count(mesh: Mesh, V: int, halo: int,
         ext = jnp.concatenate(
             [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
         win = window_layout(ext, B, L, halo)
-        tot = jnp.sum(blocked_count_core(V, halo, dflat, nb_out, win))
-        # int32 collective: a single sharded count call saturates at 2^31
-        # total matches; chunk the corpus (StreamSession) beyond that.
-        return lax.psum(tot, axis_name)
+        tot = blocked_count_core(V, halo, dflat, nb_out, win)  # [B] int32
+        return lax.all_gather(tot, axis_name)
 
+    # check_vma off: the all_gather output is replicated by construction,
+    # but the static varying-axis checker cannot prove it.
     fn = jax.shard_map(local_count, mesh=mesh,
                        in_specs=(P(), P(), P(axis_name)),
-                       out_specs=P())
+                       out_specs=P(), check_vma=False)
     return jax.jit(fn)
 
 
@@ -91,7 +99,9 @@ def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
                                n_streams_per_device: int = 256,
                                axis_name: str = DATA_AXIS):
     """k-gram packed count over the mesh (the fast count path, sharded).
-    Table replicated; corpus sharded; halo = halo_steps*k symbols."""
+    Table replicated; corpus sharded; halo = halo_steps*k symbols.
+    Returns per-stream totals [n_dev, B] int32 (all_gather); callers sum on
+    the host in int64 (same two-level reduction as make_sharded_count)."""
     n_dev = mesh.shape[axis_name]
     halo_sym = halo_steps * k
 
@@ -106,13 +116,13 @@ def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
         ext = jnp.concatenate(
             [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
         win = window_layout(ext, B, L, halo_sym)
-        tot = jnp.sum(ms.stepped_count_core(V, k, Vk, count_bits, halo_steps,
-                                            packed, win))
-        return lax.psum(tot, axis_name)
+        tot = ms.stepped_count_core(V, k, Vk, count_bits, halo_steps,
+                                    packed, win)           # [B] int32
+        return lax.all_gather(tot, axis_name)
 
     fn = jax.shard_map(local_count, mesh=mesh,
                        in_specs=(P(), P(axis_name)),
-                       out_specs=P())
+                       out_specs=P(), check_vma=False)
     return jax.jit(fn)
 
 
@@ -320,8 +330,12 @@ class ShardedScanner:
             return 0
         placed, _ = self._pad_and_place(ids)
         if self._stepped is not None:
-            return int(self._stepped_count(self._st_packed, placed))
-        return int(self._count(self._dflat, self._nb_out, placed))
+            per_stream = self._stepped_count(self._st_packed, placed)
+        else:
+            per_stream = self._count(self._dflat, self._nb_out, placed)
+        # int64 grand total on host (two-level reduction: int32 per stream
+        # on device, exact combine here — no 2^31 mesh-wide cap).
+        return int(np.asarray(per_stream).sum(dtype=np.int64))
 
     def scan_states(self, signs) -> np.ndarray:
         from ..models.scanner import encode_signs

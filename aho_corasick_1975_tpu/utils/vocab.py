@@ -24,7 +24,12 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, List, Optional
 
+import numpy as np
+
 OOV = 0
+
+# Unicode codepoint space upper bound (LUT hard cap).
+_MAX_CP = 0x110000
 
 
 def identity_key(sign: Any) -> Any:
@@ -38,6 +43,16 @@ class Vocab:
         self._ids: Dict[Any, int] = {}
         self._signs: List[Any] = [None]  # index 0 = OOV placeholder
         self._keys: List[Any] = [None]
+        # Encode fast-path caches (see lookup_many). Invalidated whenever a
+        # new id is registered; entries are recomputed lazily, per observed
+        # codepoint/byte, by evaluating key_fn exactly as lookup() would —
+        # so the vectorized paths are exact for ANY pure key_fn.
+        self._version = 0
+        self._cp_lut: Optional[np.ndarray] = None   # codepoint -> id
+        self._cp_known: Optional[np.ndarray] = None
+        self._cp_version = -1
+        self._byte_lut: Optional[np.ndarray] = None  # int sign 0..255 -> id
+        self._byte_version = -1
 
     def __len__(self) -> int:
         return len(self._signs)  # includes the OOV slot
@@ -56,16 +71,98 @@ class Vocab:
             self._ids[k] = i
             self._signs.append(sign)
             self._keys.append(k)
+            self._version += 1
         return i
 
     def lookup(self, sign: Any) -> int:
         """Map a scan-time sign to its id; unknown signs are OOV."""
         return self._ids.get(self.key_fn(sign), OOV)
 
-    def lookup_many(self, signs) -> List[int]:
+    def lookup_many(self, signs):
+        """Map a stream of signs to ids (unknown -> OOV), vectorized.
+
+        Fast paths (return int32 ndarrays):
+          * ``str`` — one LUT gather per codepoint; the LUT is grown lazily
+            per observed codepoint by evaluating ``key_fn(chr(cp))`` exactly
+            as ``lookup`` would, so any pure key function (casefolding,
+            accent folding, ...) stays exact;
+          * ``bytes``/``bytearray`` — 256-entry LUT over int signs 0..255;
+          * integer ndarrays/lists — np.unique + per-unique dict lookup;
+          * lists of 1-char strings — joined into the str path.
+        Everything else falls back to the per-sign loop (returns a list).
+        This is the scan-time genericity resolution the reference pays an
+        ordered-map lookup per symbol for (aho_corasick.c:175).
+        """
+        if isinstance(signs, str):
+            return self._encode_str(signs)
+        if isinstance(signs, (bytes, bytearray)):
+            return self._encode_byte_ints(np.frombuffer(bytes(signs),
+                                                        np.uint8))
+        if isinstance(signs, np.ndarray) and signs.dtype.kind in "iu":
+            return self._encode_ints(signs)
+        if isinstance(signs, (list, tuple)) and signs:
+            first = signs[0]
+            if isinstance(first, str):
+                try:
+                    joined = "".join(signs)
+                except TypeError:
+                    joined = None
+                if joined is not None and len(joined) == len(signs):
+                    return self._encode_str(joined)
+            elif isinstance(first, (int, np.integer)) and not isinstance(
+                    first, bool):
+                try:
+                    arr = np.asarray(signs, dtype=np.int64)
+                except (TypeError, ValueError, OverflowError):
+                    arr = None
+                if arr is not None:
+                    return self._encode_ints(arr)
         ids = self._ids
         key = self.key_fn
         return [ids.get(key(s), OOV) for s in signs]
+
+    # -- vectorized encode internals ----------------------------------------
+
+    def _encode_str(self, s: str) -> np.ndarray:
+        cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        if cps.size == 0:
+            return np.zeros(0, np.int32)
+        hi = int(cps.max()) + 1
+        lut, known = self._cp_lut, self._cp_known
+        if self._cp_version != self._version:
+            # Dictionary grew: forget cached classifications (ids stay
+            # append-only, but a codepoint previously OOV may now be known).
+            known = None
+            self._cp_version = self._version
+        if lut is None or known is None or lut.shape[0] < hi:
+            size = min(max(hi, 256), _MAX_CP)
+            lut = np.zeros(size, np.int32)
+            known = np.zeros(size, np.bool_)
+            self._cp_lut, self._cp_known = lut, known
+        fresh = np.unique(cps[~known[cps]])
+        if fresh.size:
+            ids, key = self._ids, self.key_fn
+            for cp in fresh.tolist():
+                lut[cp] = ids.get(key(chr(cp)), OOV)
+            known[fresh] = True
+        return lut[cps]
+
+    def _encode_byte_ints(self, arr: np.ndarray) -> np.ndarray:
+        if self._byte_version != self._version or self._byte_lut is None:
+            ids, key = self._ids, self.key_fn
+            self._byte_lut = np.asarray(
+                [ids.get(key(b), OOV) for b in range(256)], np.int32)
+            self._byte_version = self._version
+        return self._byte_lut[arr]
+
+    def _encode_ints(self, arr: np.ndarray) -> np.ndarray:
+        if arr.size == 0:
+            return np.zeros(0, np.int32)
+        uniq, inv = np.unique(arr, return_inverse=True)
+        ids, key = self._ids, self.key_fn
+        mapped = np.asarray([ids.get(key(int(v)), OOV) for v in uniq.tolist()],
+                            np.int32)
+        return mapped[inv.reshape(arr.shape)].astype(np.int32, copy=False)
 
     def sign(self, letter_id: int) -> Any:
         """Representative sign for a letter id (keyword reconstruction)."""

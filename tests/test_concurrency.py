@@ -119,3 +119,52 @@ def test_snapshot_scan_is_isolated_from_bulk_insert():
         assert sc.count(text) == before
     t.join()
     assert m.scanner(n_streams=4).count(text) >= before
+
+
+def test_refresh_races_concurrent_vocab_growing_inserts():
+    """Regression for the round-1 race: Machine.compile() read vocab.size
+    and the builder's max_letter non-atomically, so an insert landing
+    between the two reads made emit_tables raise "vocab_size smaller than
+    largest letter id". 4 threads hammer vocab-growing insert_keyword
+    against scanner.refresh()/machine.compile() in a tight loop; the
+    machine lock must make every snapshot self-consistent."""
+    m = ac.Machine(backend="native")
+    m.insert_keyword("seed")
+    sc = m.scanner(n_streams=4, step_k=1)
+    stop = threading.Event()
+    errors = []
+
+    def inserter(tid):
+        try:
+            i = 0
+            while not stop.is_set() and i < 400:
+                # every keyword introduces brand-new letters, so vocab.size
+                # moves on every insertion — the racing window
+                m.insert_keyword([f"w{tid}", f"x{tid}_{i}"])
+                i += 1
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def refresher():
+        try:
+            for _ in range(40):
+                sc.refresh()
+                m.compile()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=inserter, args=(t,)) for t in range(4)]
+    tr = threading.Thread(target=refresher)
+    for t in threads:
+        t.start()
+    tr.start()
+    tr.join()
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # quiesced: the refreshed scanner agrees with a freshly built one
+    sc.refresh()
+    fresh = m.scanner(n_streams=4, step_k=1)
+    probe = ["w0", "x0_1", "w1", "x1_0", "seed", "w3", "x3_2"]
+    assert sc.count(probe) == fresh.count(probe)

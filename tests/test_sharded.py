@@ -146,3 +146,30 @@ def test_sharded_refresh_halo_growth(mesh8):
     assert sharded.count(text) == 4
     single = m.scanner(n_streams=16)
     assert sharded.count(text) == single.count(text)
+
+
+def test_sharded_count_beyond_int32(mesh8):
+    """Two-level reduction: a mesh-wide total past 2^31 must come back
+    exact (int32 per-stream accumulators on device, int64 combine on host).
+    Round 1 psum'd in int32 and saturated at 2^31 per call."""
+    import jax.numpy as jnp
+
+    from aho_corasick_1975_tpu.parallel.sharded_scan import make_sharded_count
+
+    m = ac.Machine()
+    m.insert_keyword("a")
+    tables = m.compile()
+    dflat = jnp.asarray(tables.delta.reshape(-1))
+    # synthetic per-state output counts: every 'a' position "emits" 2^22
+    nb_out = jnp.asarray(np.array([0, 1 << 22], np.int32))
+    V = tables.vocab_size
+    fn = make_sharded_count(mesh8, V, halo=0)
+    ids = np.ones(1024, np.int32)  # 1024 positions x 2^22 = 2^32 matches
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    placed = jax.device_put(jnp.asarray(ids),
+                            NamedSharding(mesh8, P("data")))
+    per_stream = np.asarray(fn(dflat, nb_out, placed))
+    total = int(per_stream.sum(dtype=np.int64))
+    assert total == 1024 * (1 << 22) == 2 ** 32
+    assert total > 2 ** 31  # the round-1 cap
+    assert per_stream.shape[0] == 8  # gathered per-device rows
