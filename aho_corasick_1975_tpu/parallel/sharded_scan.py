@@ -34,9 +34,11 @@ from ..ops.scan_xla import blocked_count_core, window_layout
 from .mesh import DATA_AXIS
 
 
-def _right_shift_halo(ids_local, halo: int, axis_name: str, n_dev: int):
+def _right_shift_halo(ids_local, halo: int, axis_name: str, n_dev: int,
+                      head=None):
     """Each shard sends its last ``halo`` symbols to its right neighbor.
-    Shard 0 receives zeros (OOV pad — correct for the stream head).
+    Shard 0 receives ``head`` (the session carry — the tail of the previous
+    chunk, replicated) or zeros (OOV pad — correct for the stream head).
 
     Requires shard length >= halo (enforced by ShardedScanner padding) so
     one neighbor's tail always covers the warm-up; a shorter tail is
@@ -48,10 +50,15 @@ def _right_shift_halo(ids_local, halo: int, axis_name: str, n_dev: int):
         tail = jnp.concatenate(
             [jnp.zeros((halo - tail.shape[0],), tail.dtype), tail])
     if n_dev == 1:
-        return jnp.zeros_like(tail)
-    # ppermute: devices missing as a destination receive zeros.
-    return lax.ppermute(tail, axis_name,
-                        perm=[(i, i + 1) for i in range(n_dev - 1)])
+        left = jnp.zeros_like(tail)
+    else:
+        # ppermute: devices missing as a destination receive zeros.
+        left = lax.ppermute(tail, axis_name,
+                            perm=[(i, i + 1) for i in range(n_dev - 1)])
+    if head is not None:
+        is0 = (lax.axis_index(axis_name) == 0).astype(left.dtype)
+        left = left + head.reshape(-1) * is0
+    return left
 
 
 @lru_cache(maxsize=None)
@@ -72,10 +79,10 @@ def make_sharded_count(mesh: Mesh, V: int, halo: int,
     """
     n_dev = mesh.shape[axis_name]
 
-    def local_count(dflat, nb_out, ids_local):
+    def local_count(dflat, nb_out, head, ids_local):
         ids_local = ids_local.reshape(-1)  # shard_map keeps rank; [T/D]
         Tl = ids_local.shape[0]
-        left = _right_shift_halo(ids_local, halo, axis_name, n_dev)
+        left = _right_shift_halo(ids_local, halo, axis_name, n_dev, head)
         B = min(n_streams_per_device, max(1, Tl // 64))
         L = -(-Tl // B)
         pad = B * L - Tl
@@ -87,10 +94,16 @@ def make_sharded_count(mesh: Mesh, V: int, halo: int,
 
     # check_vma off: the all_gather output is replicated by construction,
     # but the static varying-axis checker cannot prove it.
-    fn = jax.shard_map(local_count, mesh=mesh,
-                       in_specs=(P(), P(), P(axis_name)),
-                       out_specs=P(), check_vma=False)
-    return jax.jit(fn)
+    inner = jax.jit(jax.shard_map(local_count, mesh=mesh,
+                                  in_specs=(P(), P(), P(), P(axis_name)),
+                                  out_specs=P(), check_vma=False))
+
+    def fn(dflat, nb_out, ids, head=None):
+        if head is None:
+            head = jnp.zeros((halo,), jnp.int32)
+        return inner(dflat, nb_out, head, ids)
+
+    return fn
 
 
 @lru_cache(maxsize=None)
@@ -105,10 +118,10 @@ def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
     n_dev = mesh.shape[axis_name]
     halo_sym = halo_steps * k
 
-    def local_count(packed, ids_local):
+    def local_count(packed, head, ids_local):
         ids_local = ids_local.reshape(-1)
         Tl = ids_local.shape[0]
-        left = _right_shift_halo(ids_local, halo_sym, axis_name, n_dev)
+        left = _right_shift_halo(ids_local, halo_sym, axis_name, n_dev, head)
         unit = 64 * k
         B = min(n_streams_per_device, max(1, Tl // unit))
         L = -(-(-(-Tl // B)) // unit) * unit
@@ -120,10 +133,16 @@ def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
                                     packed, win)           # [B] int32
         return lax.all_gather(tot, axis_name)
 
-    fn = jax.shard_map(local_count, mesh=mesh,
-                       in_specs=(P(), P(axis_name)),
-                       out_specs=P(), check_vma=False)
-    return jax.jit(fn)
+    inner = jax.jit(jax.shard_map(local_count, mesh=mesh,
+                                  in_specs=(P(), P(), P(axis_name)),
+                                  out_specs=P(), check_vma=False))
+
+    def fn(packed, ids, head=None):
+        if head is None:
+            head = jnp.zeros((halo_sym,), jnp.int32)
+        return inner(packed, head, ids)
+
+    return fn
 
 
 @lru_cache(maxsize=None)
@@ -139,10 +158,10 @@ def make_sharded_scan_states(mesh: Mesh, V: int, halo: int,
     mid-shard; pad only at the stream end)."""
     n_dev = mesh.shape[axis_name]
 
-    def local_scan(dflat, ids_local):
+    def local_scan(dflat, head, ids_local):
         ids_local = ids_local.reshape(-1)
         Tl = ids_local.shape[0]
-        left = _right_shift_halo(ids_local, halo, axis_name, n_dev)
+        left = _right_shift_halo(ids_local, halo, axis_name, n_dev, head)
         B = min(n_streams_per_device, max(1, Tl // 64))
         L = -(-Tl // B)
         pad = B * L - Tl
@@ -159,10 +178,16 @@ def make_sharded_scan_states(mesh: Mesh, V: int, halo: int,
         body = states_tm[halo:, :]                   # drop warm-up
         return body.T.reshape(-1)[:Tl]
 
-    fn = jax.shard_map(local_scan, mesh=mesh,
-                       in_specs=(P(), P(axis_name)),
-                       out_specs=P(axis_name))
-    return jax.jit(fn)
+    inner = jax.jit(jax.shard_map(local_scan, mesh=mesh,
+                                  in_specs=(P(), P(), P(axis_name)),
+                                  out_specs=P(axis_name)))
+
+    def fn(dflat, ids, head=None):
+        if head is None:
+            head = jnp.zeros((halo,), jnp.int32)
+        return inner(dflat, head, ids)
+
+    return fn
 
 
 @lru_cache(maxsize=None)
@@ -179,10 +204,10 @@ def make_sharded_hits(mesh: Mesh, V: int, halo: int, max_hits_per_shard: int,
     Positions are absolute stream indices (-1 = empty slot)."""
     n_dev = mesh.shape[axis_name]
 
-    def local_hits(dflat, nb_out, ids_local):
+    def local_hits(dflat, nb_out, head, ids_local):
         ids_local = ids_local.reshape(-1)
         Tl = ids_local.shape[0]
-        left = _right_shift_halo(ids_local, halo, axis_name, n_dev)
+        left = _right_shift_halo(ids_local, halo, axis_name, n_dev, head)
         B = min(n_streams_per_device, max(1, Tl // 64))
         L = -(-Tl // B)
         pad = B * L - Tl
@@ -214,9 +239,52 @@ def make_sharded_hits(mesh: Mesh, V: int, halo: int, max_hits_per_shard: int,
 
     # check_vma off: the all_gather outputs are replicated by construction,
     # but the static varying-axis checker cannot prove it.
-    fn = jax.shard_map(local_hits, mesh=mesh,
-                       in_specs=(P(), P(), P(axis_name)),
-                       out_specs=(P(), P(), P()), check_vma=False)
+    inner = jax.jit(jax.shard_map(local_hits, mesh=mesh,
+                                  in_specs=(P(), P(), P(), P(axis_name)),
+                                  out_specs=(P(), P(), P()),
+                                  check_vma=False))
+
+    def fn(dflat, nb_out, ids, head=None):
+        if head is None:
+            head = jnp.zeros((halo,), jnp.int32)
+        return inner(dflat, nb_out, head, ids)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def make_sharded_dense_count_many(mesh: Mesh, V: int,
+                                  axis_name: str = DATA_AXIS):
+    """Batched per-document counts: tm [L, B] time-major with the STREAM
+    axis sharded (each document = one stream column, root start, halo 0).
+    No collectives — per-stream totals come back sharded along B."""
+
+    def local(dflat, nb_out, tm):
+        L = tm.shape[0]
+        return blocked_count_core(V, 0, dflat, nb_out,
+                                  tm.reshape(L, -1))
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(), P(None, axis_name)),
+                       out_specs=P(axis_name))
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def make_sharded_stepped_count_many(mesh: Mesh, V: int, k: int, Vk: int,
+                                    count_bits: int,
+                                    axis_name: str = DATA_AXIS):
+    """Batched per-document counts through the packed k-stepped table,
+    stream axis sharded (L must be a multiple of k)."""
+
+    def local(packed, tm):
+        L = tm.shape[0]
+        return ms.stepped_count_core(V, k, Vk, count_bits, 0, packed,
+                                     tm.reshape(L, -1))
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(None, axis_name)),
+                       out_specs=P(axis_name))
     return jax.jit(fn)
 
 
@@ -291,9 +359,13 @@ class ShardedScanner:
         st = self._snap.stepped
         if st is not None:
             self._halo_steps = -(-self.halo // st.k)
+            self._halo_sym = self._halo_steps * st.k
             self._stepped_count = make_sharded_stepped_count(
                 self.mesh, st.V, st.k, st.Vk, st.count_bits,
                 self._halo_steps, self._n_streams_per_device, self.axis_name)
+        else:
+            self._halo_steps = 0
+            self._halo_sym = 0
 
     def refresh(self) -> bool:
         """Catch the replicated device snapshot up with the machine's
@@ -313,54 +385,115 @@ class ShardedScanner:
         self._bind_kernels()
         return status != "rebuild"
 
+    def encode(self, signs) -> np.ndarray:
+        """Map signs to dense letter ids (OOV -> 0); int32 arrays pass
+        through as pre-encoded ids — mirrors DenseScanner.encode."""
+        from ..models.scanner import encode_signs
+        return encode_signs(self.machine, signs, self.V)
+
     def _pad_and_place(self, ids: np.ndarray):
         T = len(ids)
-        halo_sym = (self._halo_steps * self._stepped.k
-                    if self._stepped is not None else 0)
-        min_shard = max(self.halo, halo_sym, 1)
+        min_shard = max(self.halo, self._halo_sym, 1)
         Tp = max(-(-T // self.n_dev), min_shard) * self.n_dev
         if Tp != T:
             ids = np.concatenate([ids, np.zeros(Tp - T, np.int32)])
         return jax.device_put(jnp.asarray(ids), self._shard), T
 
-    def count(self, signs) -> int:
-        from ..models.scanner import encode_signs
-        ids = encode_signs(self.machine, signs, self.V)
+    def _head_arr(self, head, halo: int):
+        """Session carry as a fixed-length replicated [halo] array (zeros
+        at the front when the previous chunk was shorter than the halo)."""
+        if head is None or halo == 0 or len(head) == 0:
+            return None
+        out = np.zeros(halo, np.int32)
+        tail = np.asarray(head, np.int32)[-halo:]
+        out[halo - len(tail):] = tail
+        return jnp.asarray(out)
+
+    def count(self, signs, head=None) -> int:
+        ids = self.encode(signs)
         if len(ids) == 0:
             return 0
         placed, _ = self._pad_and_place(ids)
         if self._stepped is not None:
-            per_stream = self._stepped_count(self._st_packed, placed)
+            per_stream = self._stepped_count(
+                self._st_packed, placed,
+                head=self._head_arr(head, self._halo_sym))
         else:
-            per_stream = self._count(self._dflat, self._nb_out, placed)
+            per_stream = self._count(self._dflat, self._nb_out, placed,
+                                     head=self._head_arr(head, self.halo))
         # int64 grand total on host (two-level reduction: int32 per stream
         # on device, exact combine here — no 2^31 mesh-wide cap).
         return int(np.asarray(per_stream).sum(dtype=np.int64))
 
-    def scan_states(self, signs) -> np.ndarray:
-        from ..models.scanner import encode_signs
-        ids = encode_signs(self.machine, signs, self.V)
+    def scan_states(self, signs, head=None) -> np.ndarray:
+        ids = self.encode(signs)
         if len(ids) == 0:
             return np.zeros(0, np.int32)
         placed, T = self._pad_and_place(ids)
-        return np.asarray(self._scan(self._dflat, placed))[:T]
+        return np.asarray(self._scan(self._dflat, placed,
+                                     head=self._head_arr(head, self.halo)))[:T]
 
-    def find_matches(self, signs, offset: int = 0,
+    def count_many(self, docs) -> np.ndarray:
+        """Per-document match counts for a batch of independent documents in
+        ONE mesh-wide launch — the sharded sibling of
+        DenseScanner.count_many: documents are dealt across devices along
+        the stream axis (each document is one stream column, starting at
+        the root; OOV padding is inert, reference modification [3]).
+        Returns int64 counts, len(docs)."""
+        encoded = [self.encode(d) for d in docs]
+        n = len(encoded)
+        if n == 0:
+            return np.zeros(0, np.int64)
+        k = self._stepped.k if self._stepped is not None else 1
+        unit = 128 * k
+        L = unit
+        longest = max((len(e) for e in encoded), default=1)
+        while L < longest:
+            L *= 2
+        # B bucketed to a multiple of 8 per device so steady batch sizes
+        # reuse one compiled kernel.
+        per_dev = -(-(-(-n // self.n_dev)) // 8) * 8
+        B = per_dev * self.n_dev
+        tm = np.zeros((L, B), np.int32)
+        for j, e in enumerate(encoded):
+            tm[:len(e), j] = e
+        placed = jax.device_put(
+            jnp.asarray(tm), NamedSharding(self.mesh, P(None, self.axis_name)))
+        st = self._stepped
+        if st is not None and st.packed is not None:
+            fn = make_sharded_stepped_count_many(
+                self.mesh, st.V, st.k, st.Vk, st.count_bits, self.axis_name)
+            per_stream = fn(self._st_packed, placed)
+        else:
+            fn = make_sharded_dense_count_many(self.mesh, self.V,
+                                               self.axis_name)
+            per_stream = fn(self._dflat, self._nb_out, placed)
+        return np.asarray(per_stream).reshape(-1)[:n].astype(np.int64)
+
+    def session(self) -> "StreamSession":
+        """Open a chunked streaming session over the mesh (exact across
+        chunk edges — the carry rides into shard 0's halo via the replicated
+        head argument; all other shards keep the ppermute handoff). Same
+        cursor contract as the single-chip session (reference c:433-448)."""
+        from ..models.scanner import StreamSession
+        return StreamSession(self)
+
+    def find_matches(self, signs, offset: int = 0, head=None,
                      max_hits_per_shard: Optional[int] = None):
         """(event, Match) occurrences across the sharded stream, reference
         index order — the mesh-wide sibling of DenseScanner.find_matches.
 
+        ``head``: session carry (previous chunk tail ids) for shard 0's halo.
         ``max_hits_per_shard``: use the all_gather bounded-hit path (only
         hits travel; raises if any shard overflows its buffer)."""
         from ..ops.decode import decode_matches
         if max_hits_per_shard is None:
-            states = self.scan_states(signs)
+            states = self.scan_states(signs, head=head)
             events = decode_matches(states, self.tables, offset=offset)
             return [(ev, self.machine.match_for_state(ev.end_state))
                     for ev in events]
-        from ..models.scanner import encode_signs
         from ..ops.decode import MatchEvent
-        ids = encode_signs(self.machine, signs, self.V)
+        ids = self.encode(signs)
         if len(ids) == 0:
             return []
         key = int(max_hits_per_shard)
@@ -370,7 +503,8 @@ class ShardedScanner:
                                     self.axis_name)
         placed, T = self._pad_and_place(ids)
         positions, sts, n_hit_pos = hits_fn(
-            self._dflat, self._nb_out, placed)
+            self._dflat, self._nb_out, placed,
+            head=self._head_arr(head, self.halo))
         n_hit_pos = np.asarray(n_hit_pos)
         if int(n_hit_pos.max()) > key:
             raise ValueError(

@@ -173,3 +173,69 @@ def test_sharded_count_beyond_int32(mesh8):
     assert total == 1024 * (1 << 22) == 2 ** 32
     assert total > 2 ** 31  # the round-1 cap
     assert per_stream.shape[0] == 8  # gathered per-device rows
+
+
+def test_sharded_session_chunked_count(mesh8):
+    """Chunked mesh-wide streaming: a keyword split across a CHUNK edge
+    (not just a shard edge) must be counted exactly once — the carry rides
+    into shard 0's halo via the replicated head argument."""
+    rng = random.Random(11)
+    m = ac.Machine()
+    for _ in range(30):
+        m.insert_keyword("".join(rng.choice("ab")
+                                 for _ in range(rng.randint(1, 5))))
+    m.insert_keyword("spanner")
+    text = "".join(rng.choice("ab x") for _ in range(3000))
+    # plant 'spanner' exactly across each chunk boundary
+    chunk = 700
+    text = list(text)
+    for edge in (chunk, 2 * chunk, 3 * chunk):
+        for k, ch in enumerate("spanner"):
+            text[edge - 3 + k] = ch
+    text = "".join(text)
+    single = m.scanner(n_streams=8)
+    sharded = ShardedScanner(m, mesh8, n_streams_per_device=4)
+    assert sharded.count(text) == single.count(text)
+    sess = sharded.session()
+    total = sum(sess.feed_count(text[i:i + chunk])
+                for i in range(0, len(text), chunk))
+    assert total == single.count(text)
+    assert sess.total == total
+
+
+def test_sharded_session_matches_and_checkpoint(mesh8):
+    """feed_matches parity with the single-chip session, plus checkpoint/
+    restore mid-stream (the scan-resume story, SURVEY.md §5)."""
+    from aho_corasick_1975_tpu.models.scanner import StreamSession
+    m = ac.Machine()
+    for kw in ["he", "she", "hers", "edge"]:
+        m.insert_keyword(kw)
+    text = "ushers edge he xx edge hers " * 40
+    chunks = [text[i:i + 230] for i in range(0, len(text), 230)]
+    single = m.scanner(n_streams=8)
+    sharded = ShardedScanner(m, mesh8, n_streams_per_device=4)
+    s1, s2 = single.session(), sharded.session()
+    ev1, ev2 = [], []
+    for i, c in enumerate(chunks):
+        ev1.extend((e.end, e.start, mt.text()) for e, mt in s1.feed_matches(c))
+        if i == len(chunks) // 2:  # checkpoint/restore mid-stream
+            s2 = StreamSession.restore(sharded, s2.checkpoint())
+        ev2.extend((e.end, e.start, mt.text()) for e, mt in s2.feed_matches(c))
+    assert ev1 == ev2 and len(ev1) > 0
+
+
+def test_sharded_count_many_parity(mesh8):
+    rng = random.Random(5)
+    m = ac.Machine()
+    for _ in range(25):
+        m.insert_keyword("".join(rng.choice("abc")
+                                 for _ in range(rng.randint(1, 4))))
+    docs = ["".join(rng.choice("abcx") for _ in range(rng.randint(0, 300)))
+            for _ in range(23)]
+    single = m.scanner(n_streams=8)
+    sharded = ShardedScanner(m, mesh8, n_streams_per_device=4)
+    np.testing.assert_array_equal(sharded.count_many(docs),
+                                  single.count_many(docs))
+    expected = [single.count(d) for d in docs]
+    np.testing.assert_array_equal(sharded.count_many(docs), expected)
+    assert sharded.count_many([]).shape == (0,)
