@@ -100,7 +100,7 @@ def make_sharded_count(mesh: Mesh, V: int, halo: int,
 
     def fn(dflat, nb_out, ids, head=None):
         if head is None:
-            head = jnp.zeros((halo,), jnp.int32)
+            head = np.zeros(halo, np.int32)
         return inner(dflat, nb_out, head, ids)
 
     return fn
@@ -139,7 +139,7 @@ def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
 
     def fn(packed, ids, head=None):
         if head is None:
-            head = jnp.zeros((halo_sym,), jnp.int32)
+            head = np.zeros(halo_sym, np.int32)
         return inner(packed, head, ids)
 
     return fn
@@ -184,7 +184,7 @@ def make_sharded_scan_states(mesh: Mesh, V: int, halo: int,
 
     def fn(dflat, ids, head=None):
         if head is None:
-            head = jnp.zeros((halo,), jnp.int32)
+            head = np.zeros(halo, np.int32)
         return inner(dflat, head, ids)
 
     return fn
@@ -246,7 +246,7 @@ def make_sharded_hits(mesh: Mesh, V: int, halo: int, max_hits_per_shard: int,
 
     def fn(dflat, nb_out, ids, head=None):
         if head is None:
-            head = jnp.zeros((halo,), jnp.int32)
+            head = np.zeros(halo, np.int32)
         return inner(dflat, nb_out, head, ids)
 
     return fn
@@ -261,12 +261,15 @@ def make_sharded_dense_count_many(mesh: Mesh, V: int,
 
     def local(dflat, nb_out, tm):
         L = tm.shape[0]
-        return blocked_count_core(V, 0, dflat, nb_out,
-                                  tm.reshape(L, -1))
+        tot = blocked_count_core(V, 0, dflat, nb_out, tm.reshape(L, -1))
+        # all_gather -> replicated result, host-fetchable from every
+        # process of a multi-controller mesh (same shape convention as
+        # make_sharded_count: [n_dev, B_local], row-major = column order)
+        return lax.all_gather(tot, axis_name)
 
     fn = jax.shard_map(local, mesh=mesh,
                        in_specs=(P(), P(), P(None, axis_name)),
-                       out_specs=P(axis_name))
+                       out_specs=P(), check_vma=False)
     return jax.jit(fn)
 
 
@@ -279,12 +282,13 @@ def make_sharded_stepped_count_many(mesh: Mesh, V: int, k: int, Vk: int,
 
     def local(packed, tm):
         L = tm.shape[0]
-        return ms.stepped_count_core(V, k, Vk, count_bits, 0, packed,
-                                     tm.reshape(L, -1))
+        tot = ms.stepped_count_core(V, k, Vk, count_bits, 0, packed,
+                                    tm.reshape(L, -1))
+        return lax.all_gather(tot, axis_name)
 
     fn = jax.shard_map(local, mesh=mesh,
                        in_specs=(P(), P(None, axis_name)),
-                       out_specs=P(axis_name))
+                       out_specs=P(), check_vma=False)
     return jax.jit(fn)
 
 
@@ -304,10 +308,12 @@ class ShardedScanner:
         self._shard = NamedSharding(mesh, P(axis_name))
         # Replicated capacity-padded snapshot (same refresh machinery as
         # DenseScanner; the sharded kernels only take packed stepped tables).
+        # np.asarray (not jnp): multi-process device_put needs an
+        # uncommitted host value, identical on every process.
         self._snap = DeviceSnapshot(
             tables if tables is not None else machine.compile(),
             step_k=step_k, step_budget_bytes=step_budget_bytes,
-            place=lambda a: jax.device_put(jnp.asarray(a), repl),
+            place=lambda a: jax.device_put(np.asarray(a), repl),
             packed_only=True)
         self.halo = max(self.tables.max_depth - 1, 0)
         self._n_streams_per_device = n_streams_per_device
@@ -397,7 +403,7 @@ class ShardedScanner:
         Tp = max(-(-T // self.n_dev), min_shard) * self.n_dev
         if Tp != T:
             ids = np.concatenate([ids, np.zeros(Tp - T, np.int32)])
-        return jax.device_put(jnp.asarray(ids), self._shard), T
+        return jax.device_put(np.ascontiguousarray(ids), self._shard), T
 
     def _head_arr(self, head, halo: int):
         """Session carry as a fixed-length replicated [halo] array (zeros
@@ -407,7 +413,7 @@ class ShardedScanner:
         out = np.zeros(halo, np.int32)
         tail = np.asarray(head, np.int32)[-halo:]
         out[halo - len(tail):] = tail
-        return jnp.asarray(out)
+        return out
 
     def count(self, signs, head=None) -> int:
         ids = self.encode(signs)
@@ -458,7 +464,7 @@ class ShardedScanner:
         for j, e in enumerate(encoded):
             tm[:len(e), j] = e
         placed = jax.device_put(
-            jnp.asarray(tm), NamedSharding(self.mesh, P(None, self.axis_name)))
+            tm, NamedSharding(self.mesh, P(None, self.axis_name)))
         st = self._stepped
         if st is not None and st.packed is not None:
             fn = make_sharded_stepped_count_many(

@@ -48,8 +48,7 @@ class Vocab:
         # codepoint/byte, by evaluating key_fn exactly as lookup() would —
         # so the vectorized paths are exact for ANY pure key_fn.
         self._version = 0
-        self._cp_lut: Optional[np.ndarray] = None   # codepoint -> id
-        self._cp_known: Optional[np.ndarray] = None
+        self._cp_lut: Optional[np.ndarray] = None   # codepoint -> id; -1 = unclassified
         self._cp_version = -1
         self._byte_lut: Optional[np.ndarray] = None  # int sign 0..255 -> id
         self._byte_version = -1
@@ -124,28 +123,35 @@ class Vocab:
     # -- vectorized encode internals ----------------------------------------
 
     def _encode_str(self, s: str) -> np.ndarray:
-        cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        # Codepoints without copy: utf-32-le IS the codepoint array. The
+        # int32 view is safe (max codepoint 0x10FFFF < 2^31) and indexes
+        # marginally faster than uint32. Steady state is exactly two passes:
+        # one LUT gather + one min-reduction (-1 sentinel = unclassified
+        # codepoint) — minimal memory traffic, which dominates on hosts with
+        # slow first-touch page faults.
+        cps = np.frombuffer(s.encode("utf-32-le"),
+                            dtype=np.uint32).view(np.int32)
         if cps.size == 0:
             return np.zeros(0, np.int32)
-        hi = int(cps.max()) + 1
-        lut, known = self._cp_lut, self._cp_known
         if self._cp_version != self._version:
             # Dictionary grew: forget cached classifications (ids stay
             # append-only, but a codepoint previously OOV may now be known).
-            known = None
+            self._cp_lut = None
             self._cp_version = self._version
-        if lut is None or known is None or lut.shape[0] < hi:
-            size = min(max(hi, 256), _MAX_CP)
-            lut = np.zeros(size, np.int32)
-            known = np.zeros(size, np.bool_)
-            self._cp_lut, self._cp_known = lut, known
-        fresh = np.unique(cps[~known[cps]])
-        if fresh.size:
+        lut = self._cp_lut
+        hi = int(cps.max()) + 1
+        if lut is None or lut.shape[0] < hi:
+            lut = np.full(min(max(hi, 256), _MAX_CP), -1, np.int32)
+            if self._cp_lut is not None:
+                lut[:self._cp_lut.shape[0]] = self._cp_lut
+            self._cp_lut = lut
+        out = lut[cps]
+        if int(out.min()) < 0:
             ids, key = self._ids, self.key_fn
-            for cp in fresh.tolist():
+            for cp in np.unique(cps[out < 0]).tolist():
                 lut[cp] = ids.get(key(chr(cp)), OOV)
-            known[fresh] = True
-        return lut[cps]
+            out = lut[cps]
+        return out
 
     def _encode_byte_ints(self, arr: np.ndarray) -> np.ndarray:
         if self._byte_version != self._version or self._byte_lut is None:

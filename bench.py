@@ -65,6 +65,7 @@ def main() -> None:
     # vectorized str path (codepoint LUT inside Vocab.lookup_many).
     reps = max(1, TARGET_BYTES // len(norm))
     text = (norm + " ") * reps
+    ids = machine.vocab.lookup_many(text)  # warm the codepoint LUT
     t_enc = time.perf_counter()
     ids = machine.vocab.lookup_many(text)
     t_enc = time.perf_counter() - t_enc
