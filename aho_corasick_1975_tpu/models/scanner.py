@@ -22,7 +22,8 @@ import numpy as np
 from ..core.builder import DenseTables
 from ..ops import blocking
 from ..ops.decode import MatchEvent, decode_matches
-from ..ops.scan_xla import (make_blocked_count, make_blocked_scan,
+from ..ops.scan_xla import (make_blocked_count, make_blocked_count_stream,
+                            make_blocked_scan, make_blocked_scan_stream,
                             make_sequential_scan)
 from .snapshot import DeviceSnapshot
 
@@ -49,7 +50,16 @@ class DenseScanner:
                  halo: Optional[int] = None,
                  tables: Optional[DenseTables] = None,
                  step_k: "int | str" = "auto",
-                 step_budget_bytes: int = 128 * 1024 * 1024):
+                 step_budget_bytes: int = 128 * 1024 * 1024,
+                 engine: str = "auto"):
+        """``engine``: "gather" (packed-table gather scan, the default
+        workhorse), "mxu" (one-hot digit-matmul — small automata only,
+        raises if the dictionary does not fit), or "auto" (use the MXU
+        engine when the automaton is small enough that it measures faster
+        on TPU; see ops/scan_mxu.py)."""
+        if engine not in ("auto", "gather", "mxu"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self._engine = engine
         self.machine = machine
         self._halo_auto = halo is None
         # "auto": scale the stream count with the input at layout time
@@ -65,6 +75,14 @@ class DenseScanner:
         self.halo = int(halo) if halo is not None else max(
             self.tables.max_depth - 1, 0)
         self.stats: dict = {}
+        # Host staging buffers for the stream kernels, reused per size.
+        # Reuse is safe on TPU only: every public call materializes its
+        # result (np.asarray/int) before returning, which fences the
+        # previous transfer; the CPU backend zero-copy ALIASES numpy
+        # buffers (measured), so there each upload takes a fresh copy.
+        self._ext_bufs: dict = {}
+        import jax
+        self._reuse_buf = jax.default_backend() != "cpu"
         self._bind_kernels()
 
     # Snapshot delegation (the snapshot owns tables + device arrays; the
@@ -121,6 +139,30 @@ class DenseScanner:
             else:
                 self._stepped_count = ms.make_stepped_count_unpacked(
                     st.V, st.k, st.Vk, self._halo_steps)
+        else:
+            self._halo_steps = 0
+            self._halo_sym = 0
+        # MXU engine (ops/scan_mxu.py): counts via one-hot digit matmuls.
+        # Takes priority over the stepped gather path when selected; the
+        # planes are rebuilt here on every (re)bind, so refresh() keeps it
+        # in sync with the dictionary for free (S is small by construction).
+        self._mxu = None
+        if self._engine in ("auto", "mxu"):
+            from ..ops import scan_mxu
+            built = scan_mxu.build_planes(self.tables.delta,
+                                          self.tables.nb_outputs)
+            if built is not None:
+                planes, cbits, n_planes, S_pad = built
+                # auto: only where measured faster — TPU, and a per-symbol
+                # matmul cost within the validated envelope (exp2/exp2b)
+                flops_ok = S_pad * n_planes * self.V <= 512 * 3 * 32
+                if self._engine == "mxu" or (self._reuse_buf and flops_ok):
+                    self._mxu = (jnp.asarray(planes), cbits, n_planes, S_pad)
+            if self._mxu is None and self._engine == "mxu":
+                raise ValueError(
+                    "automaton too large for the MXU engine (padded states "
+                    "or digit planes over the ops/scan_mxu.py limits); use "
+                    "engine='gather'")
 
     @property
     def version(self) -> int:
@@ -196,7 +238,31 @@ class DenseScanner:
     def _streams_for(self, T: int) -> int:
         if not self._auto_streams:
             return self.n_streams
-        return max(512, min(16384, T // 4096))
+        b = max(512, min(16384, T // 4096))
+        return 1 << (b - 1).bit_length()  # pow2 bucket: few compiled shapes
+
+    def _stream_ext(self, ids: np.ndarray, head, halo: int, unit: int):
+        """Stage the stream for a device-side window layout: one contiguous
+        [halo + B*L] int32 buffer (left halo, ids, OOV tail pad). The only
+        host work per scan is this memcpy — the [halo+L, B] windowing
+        (a cache-hostile strided transpose when done on host) runs on
+        device via ops.scan_xla.window_layout."""
+        T = len(ids)
+        B = self._streams_for(T)
+        L = max(unit, -(-(-(-T // B)) // unit) * unit)
+        n = halo + B * L
+        buf = self._ext_bufs.get(n) if self._reuse_buf else None
+        if buf is None:
+            buf = np.zeros(n, np.int32)
+            if self._reuse_buf:
+                self._ext_bufs[n] = buf
+        buf[:halo] = 0
+        if head is not None and len(head) and halo:
+            h = min(len(head), halo)
+            buf[halo - h:halo] = head[-h:]
+        buf[halo:halo + T] = ids
+        buf[halo + T:] = 0
+        return jnp.asarray(buf), B, L, T
 
     def _layout(self, ids: np.ndarray, head=None) -> Tuple[np.ndarray, int, int]:
         T = len(ids)
@@ -217,28 +283,42 @@ class DenseScanner:
         if len(ids) == 0:
             return np.zeros(0, dtype=np.int32)
         t0 = time.perf_counter()
-        blocks_tm, _, T = self._layout(ids, head=head)
-        states_tm = np.asarray(self._blocked_scan(self._dflat,
-                                                  jnp.asarray(blocks_tm)))
-        out = blocking.unblock_states(states_tm, self.halo, T)
+        ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
+        fn = make_blocked_scan_stream(self.V, self.halo, B, L)
+        out = np.asarray(fn(self._dflat, ext))[:T]
         self._record("scan_states", T, time.perf_counter() - t0)
         return out
 
     def count(self, signs, head=None) -> int:
         """Total number of keyword occurrences in the stream (fused count,
         nothing materialized per position; k-char stepped when enabled)."""
+        from ..ops import multistep as ms
         ids = self.encode(signs)
         if len(ids) == 0:
             return 0
         t0 = time.perf_counter()
-        if self._stepped is not None:
-            blocks_tm = self._layout_stepped(ids, head=head)
-            per_stream = self._stepped_count(*self._st_dev,
-                                             jnp.asarray(blocks_tm))
+        st = self._stepped
+        if self._mxu is not None:
+            from ..ops import scan_mxu
+            planes, cbits, n_planes, S_pad = self._mxu
+            ext, B, L, _ = self._stream_ext(ids, head, self.halo, 128)
+            fn = scan_mxu.make_mxu_count_stream(
+                self.V, S_pad, cbits, n_planes, self.halo, B, L)
+            per_stream = fn(planes, ext)
+        elif st is not None:
+            ext, B, L, _ = self._stream_ext(ids, head, self._halo_sym,
+                                            128 * st.k)
+            if st.packed is not None:
+                fn = ms.make_stepped_count_stream(
+                    st.V, st.k, st.Vk, st.count_bits, self._halo_steps, B, L)
+            else:
+                fn = ms.make_stepped_count_unpacked_stream(
+                    st.V, st.k, st.Vk, self._halo_steps, B, L)
+            per_stream = fn(*self._st_dev, ext)
         else:
-            blocks_tm, _, _ = self._layout(ids, head=head)
-            per_stream = self._blocked_count(self._dflat, self._nb_out,
-                                             jnp.asarray(blocks_tm))
+            ext, B, L, _ = self._stream_ext(ids, head, self.halo, 128)
+            fn = make_blocked_count_stream(self.V, self.halo, B, L)
+            per_stream = fn(self._dflat, self._nb_out, ext)
         # int64 grand total on host: per-stream totals are int32-safe but
         # their sum can exceed 2^31 on pod-scale corpora.
         n = int(np.asarray(per_stream).sum(dtype=np.int64))
@@ -323,16 +403,15 @@ class DenseScanner:
                 for ev in events]
 
     def _find_matches_device(self, signs, offset, head, max_hits):
-        from ..ops.hits import make_blocked_hits
+        from ..ops.hits import make_blocked_hits_stream
         ids = self.encode(signs)
         if len(ids) == 0:
             return []
         t0 = time.perf_counter()
-        blocks_tm, _, T = self._layout(ids, head=head)
-        L = blocks_tm.shape[0]
-        fn = make_blocked_hits(self.V, self.halo, int(max_hits))
+        ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
+        fn = make_blocked_hits_stream(self.V, self.halo, int(max_hits), B, L)
         positions, sts, n_hits, n_hit_pos = fn(self._dflat, self._nb_out,
-                                               jnp.asarray(blocks_tm))
+                                               ext)
         n_hit_pos = int(n_hit_pos)
         positions = np.asarray(positions)
         sts = np.asarray(sts)

@@ -62,3 +62,20 @@ def make_blocked_hits(V: int, halo: int, max_hits: int):
         return positions, sts, n_hits, n_hit_pos
 
     return hits
+
+
+@lru_cache(maxsize=None)
+def make_blocked_hits_stream(V: int, halo: int, max_hits: int,
+                             B: int, L: int):
+    """Stream-input variant: ext [halo + B*L] in (device window layout,
+    same staging contract as scan_xla.make_blocked_count_stream)."""
+    from .scan_xla import window_layout
+
+    inner = make_blocked_hits(V, halo, max_hits)
+
+    @jax.jit
+    def hits(dflat, nb_out, ext):
+        win = window_layout(ext, B, L, halo)
+        return inner(dflat, nb_out, win)
+
+    return hits

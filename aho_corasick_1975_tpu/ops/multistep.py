@@ -274,6 +274,53 @@ def make_stepped_count(V: int, k: int, Vk: int, count_bits: int,
 
 
 @lru_cache(maxsize=None)
+def make_stepped_count_stream(V: int, k: int, Vk: int, count_bits: int,
+                              halo_steps: int, B: int, L: int):
+    """Stream-input packed count: ext [halo_steps*k + B*L] contiguous ids
+    with the left halo prepended; window layout runs ON DEVICE (see
+    scan_xla.make_blocked_count_stream for why the host layout was the
+    end-to-end bottleneck). L % k == 0."""
+    from .scan_xla import window_layout
+
+    @jax.jit
+    def count(packed, ext):
+        win = window_layout(ext, B, L, halo_steps * k)
+        return stepped_count_core(V, k, Vk, count_bits, halo_steps,
+                                  packed, win)
+
+    return count
+
+
+@lru_cache(maxsize=None)
+def make_stepped_count_unpacked_stream(V: int, k: int, Vk: int,
+                                       halo_steps: int, B: int, L: int):
+    """Stream-input unpacked (two-table) count."""
+    from .scan_xla import window_layout
+
+    @jax.jit
+    def count(delta_k, cnt_k, ext):
+        win = window_layout(ext, B, L, halo_steps * k)
+        grams = combine_grams(win, V, k)
+        Lk = grams.shape[0]
+        s0 = grams[0] * 0
+        zero = grams[0] * 0
+
+        def step(carry, tg):
+            t, g = tg
+            s, tot = carry
+            i = s * Vk + g
+            s2 = delta_k[i]
+            cnt = jnp.where(t >= halo_steps, cnt_k[i], 0)
+            return (s2, tot + cnt), None
+
+        ts = jnp.arange(Lk, dtype=jnp.int32)
+        (_, tot), _ = lax.scan(step, (s0, zero), (ts, grams))
+        return tot
+
+    return count
+
+
+@lru_cache(maxsize=None)
 def make_stepped_count_unpacked(V: int, k: int, Vk: int, halo_steps: int):
     """Two-table fallback when (state, count) exceed 31 packed bits."""
 

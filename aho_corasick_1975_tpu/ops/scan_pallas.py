@@ -16,6 +16,15 @@ algorithm level instead.
 The kernel below is correct under `interpret=True` (tested on CPU in CI)
 and is the ready-made fused implementation for TPU generations / Mosaic
 versions that lift the gather restriction.
+
+Round-2 re-examination (benchmarks/exp_round2_kernels.py exp3/exp3b,
+BENCHMARKS.md "Round-2 kernel formulations"): the current toolchain rejects
+the 1-D form with "Only 2D gather is supported", and its "2D gather" is a
+same-shape dynamic shuffle (`_gather_lowering_rule` asserts
+indices.shape == operand.shape + (1,)) — not a table lookup. Both VMEM
+formulations are measured dead ends on this generation; the MXU digit-
+matmul engine (ops/scan_mxu.py) is the formulation that DID pan out for
+small automata.
 """
 
 from __future__ import annotations

@@ -105,17 +105,64 @@ def window_layout(ids_ext, n_blocks: int, block_len: int, halo: int):
     multi-chip). Returns the [halo+block_len, n_blocks] time-major windows.
 
     Implementation note: windows[t, b] = ids_ext[b*L + t]. The body rows
-    (t >= halo) are just a reshape+transpose of the stream; the halo rows
-    are H strided slices (stride L). TPU gathers run at ~0.1 G elem/s, so
-    expressing this as one big gather would dominate the whole scan —
-    slices and transposes are bandwidth-bound instead."""
+    (t >= halo) are just a reshape+transpose of the stream. The halo rows
+    of window b are the last H symbols of window b-1, i.e. body rows
+    [L-H:L] shifted one column right, with ids_ext's own head in column 0
+    — a pure bandwidth-bound shuffle. (The round-1 formulation built them
+    as H stride-L slices instead; measured on TPU v5e that cost ~60 ms per
+    67 MB scan, a 22% headline regression — BENCHMARKS.md round-2 notes.)"""
     H, L, B = halo, block_len, n_blocks
     body = ids_ext[H:].reshape(B, L).T                      # [L, B]
     if H == 0:
         return body
-    halo_rows = [lax.slice(ids_ext, (t,), (t + (B - 1) * L + 1,), (L,))
-                 for t in range(H)]                          # H x [B]
-    return jnp.concatenate([jnp.stack(halo_rows, axis=0), body], axis=0)
+    if H <= L:
+        halo_rows = jnp.concatenate(
+            [ids_ext[:H][:, None], body[L - H:, :-1]], axis=1)   # [H, B]
+    else:
+        # halo longer than a block (tiny streams): fall back to strided
+        # slices; cost is irrelevant at these sizes
+        halo_rows = jnp.stack(
+            [lax.slice(ids_ext, (t,), (t + (B - 1) * L + 1,), (L,))
+             for t in range(H)], axis=0)
+    return jnp.concatenate([halo_rows, body], axis=0)
+
+
+@lru_cache(maxsize=None)
+def make_blocked_count_stream(V: int, halo: int, B: int, L: int):
+    """Stream-input count: takes ext [halo + B*L] (contiguous stream with
+    its left halo prepended) and does the window layout ON DEVICE.
+
+    The round-1 path laid out [halo+L, B] windows on the host — a
+    cache-hostile 4-byte-strided transpose that dominated end-to-end time
+    (this host's first-touch page faults run at ~70 MB/s). window_layout on
+    device is two HBM-bandwidth passes (~1 ms for 256 MB)."""
+
+    @jax.jit
+    def count(dflat, nb_out, ext):
+        win = window_layout(ext, B, L, halo)
+        return blocked_count_core(V, halo, dflat, nb_out, win)
+
+    return count
+
+
+@lru_cache(maxsize=None)
+def make_blocked_scan_stream(V: int, halo: int, B: int, L: int):
+    """Stream-input scan_states: ext [halo + B*L] in, states [B*L] out in
+    STREAM order (the unblock transpose also runs on device)."""
+
+    @jax.jit
+    def scan(dflat, ext):
+        win = window_layout(ext, B, L, halo)
+        s0 = win[0] * 0
+
+        def step(s, c):
+            s2 = dflat[s * V + c]
+            return s2, s2
+
+        _, states_tm = lax.scan(step, s0, win)
+        return states_tm[halo:, :].T.reshape(-1)
+
+    return scan
 
 
 @lru_cache(maxsize=None)

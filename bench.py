@@ -70,24 +70,30 @@ def main() -> None:
     ids = machine.vocab.lookup_many(text)
     t_enc = time.perf_counter() - t_enc
 
-    # Pre-layout and pre-upload: the metric is device scan throughput with
-    # tables and corpus resident in HBM (the reference's analogue scans
-    # from RAM, README.md:367).
-    if scanner._stepped is not None:
-        dev_blocks = jnp.asarray(scanner._layout_stepped(ids))
+    # Pre-upload: the metric is device scan throughput with tables and
+    # corpus resident in HBM (the reference's analogue scans from RAM,
+    # README.md:367). The window layout runs on device (production path).
+    from aho_corasick_1975_tpu.ops import multistep as ms
+    from aho_corasick_1975_tpu.ops.scan_xla import make_blocked_count_stream
+
+    st = scanner._stepped
+    if st is not None and st.packed is not None:
+        k = st.k
+        ext, B, L, _ = scanner._stream_ext(ids, None, scanner._halo_sym,
+                                           128 * k)
         tabs = scanner._st_dev
-        count_fn = scanner._stepped_count
-        k = scanner._stepped.k
+        count_fn = ms.make_stepped_count_stream(
+            st.V, st.k, st.Vk, st.count_bits, scanner._halo_steps, B, L)
     else:
-        dev_blocks = jnp.asarray(scanner._layout(ids)[0])
-        tabs = (scanner._dflat, scanner._nb_out)
-        count_fn = scanner._blocked_count
         k = 1
+        ext, B, L, _ = scanner._stream_ext(ids, None, scanner.halo, 128)
+        tabs = (scanner._dflat, scanner._nb_out)
+        count_fn = make_blocked_count_stream(scanner.V, scanner.halo, B, L)
 
     import numpy as _np
 
     def run_once():
-        return int(_np.asarray(count_fn(*tabs, dev_blocks))
+        return int(_np.asarray(count_fn(*tabs, ext))
                    .sum(dtype=_np.int64))
 
     # Warm-up (compile + first run).
@@ -103,16 +109,12 @@ def main() -> None:
     dt = min(times)
     assert r == total
 
-    # End-to-end: host encode (str -> ids) + block layout + device upload +
-    # scan, from the raw text each time — so the headline device-resident
-    # number can't be mistaken for the full-pipeline rate.
+    # End-to-end: host encode (str -> ids) + staging + device upload +
+    # scan via the PRODUCTION scanner.count path, from the raw text each
+    # time — so the headline device-resident number can't be mistaken for
+    # the full-pipeline rate.
     def run_end_to_end():
-        ids2 = machine.vocab.lookup_many(text)
-        if scanner._stepped is not None:
-            blocks = jnp.asarray(scanner._layout_stepped(ids2))
-        else:
-            blocks = jnp.asarray(scanner._layout(ids2)[0])
-        return int(_np.asarray(count_fn(*tabs, blocks)).sum(dtype=_np.int64))
+        return scanner.count(machine.vocab.lookup_many(text))
 
     assert run_end_to_end() == total  # warm-up + check
     e2e_times = []
@@ -139,6 +141,10 @@ def main() -> None:
             "step_k": k,
             "end_to_end_bytes_per_sec": round(nbytes / e2e_dt, 1),
             "encode_bytes_per_sec": round(nbytes / t_enc, 1),
+            # On this rig the host->device path runs through a remote TPU
+            # tunnel at ~25-30 MB/s, which dominates end_to_end; on a
+            # local PCIe TPU host the same path is encode-bound.
+            "e2e_note": "host->device transfer rides a remote tunnel here",
         },
     }))
 

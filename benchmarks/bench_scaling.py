@@ -73,6 +73,40 @@ def main():
             base = rate
         results[n]["efficiency_vs_1dev"] = round(rate / (base * n), 3)
 
+    # Communication-overhead isolation: same mesh, same input, same local
+    # kernel — once with the real ppermute halo + all_gather, once with
+    # halo=0 (no ppermute; the all_gather of B*n int32 totals remains, it
+    # is the result itself). The delta IS the per-scan communication +
+    # halo-warmup cost, the quantity the >=90% scaling claim rests on
+    # (it is constant per scan while compute grows with the corpus).
+    from aho_corasick_1975_tpu.parallel.sharded_scan import \
+        make_sharded_count
+    n = sizes[-1]
+    mesh = make_mesh(n)
+    sc = ShardedScanner(m, mesh, n_streams_per_device=256, step_k=1)
+    ids = rng.integers(1, 27, per_dev_chars * n).astype(np.int32)
+    placed, _ = sc._pad_and_place(ids)
+    halo_fn = make_sharded_count(mesh, sc.V, sc.halo, 256)
+    nohalo_fn = make_sharded_count(mesh, sc.V, 0, 256)
+
+    def run(fn):
+        int(np.asarray(fn(sc._dflat, sc._nb_out, placed)).sum(dtype=np.int64))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(np.asarray(fn(sc._dflat, sc._nb_out, placed)).sum(dtype=np.int64))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_halo, t_nohalo = run(halo_fn), run(nohalo_fn)
+    comm = {
+        "n_devices": n, "halo_symbols": sc.halo,
+        "seconds_with_halo": round(t_halo, 4),
+        "seconds_without": round(t_nohalo, 4),
+        "comm_plus_warmup_fraction": round(
+            max(t_halo - t_nohalo, 0.0) / t_halo, 4),
+    }
+
     platform = jax.devices()[0].platform
     print(json.dumps({
         "metric": "weak_scaling", "per_device_chars": per_dev_chars,
@@ -80,7 +114,8 @@ def main():
         "note": ("virtual CPU devices share host cores: efficiency numbers "
                  "are structural validation only, not hardware scaling")
         if platform == "cpu" else "",
-        "results": results}))
+        "results": results,
+        "comm_overhead": comm}))
 
 
 if __name__ == "__main__":

@@ -84,7 +84,7 @@ def exp1():
     n = L * B
     for mode in (None, "promise_in_bounds", "fill"):
         fn = make(mode)
-        dt = timed(lambda: int(np.asarray(fn(packed, grams)).sum(np.int64)))
+        dt = timed(lambda: int(np.asarray(fn(packed, grams)).sum(dtype=np.int64)))
         print(f"exp1 mode={mode!s:>20}: {dt:.4f}s  "
               f"{n / dt / 1e6:.1f} M gathers/s  {dt / n * 1e9:.2f} ns/gather")
 
@@ -118,7 +118,7 @@ def exp1b():
     n = L * B
     for unroll in (1, 2, 4, 8):
         fn = make(unroll)
-        dt = timed(lambda: int(np.asarray(fn(packed, grams)).sum(np.int64)))
+        dt = timed(lambda: int(np.asarray(fn(packed, grams)).sum(dtype=np.int64)))
         print(f"exp1b unroll={unroll}: {dt:.4f}s  "
               f"{n / dt / 1e6:.1f} M gathers/s")
 
@@ -185,16 +185,56 @@ def exp2():
             return tot
 
         n = L * B
-        r1 = int(np.asarray(mxu_count(planes, ids)).sum(np.int64))
-        r2 = int(np.asarray(gather_count(flat, ids)).sum(np.int64))
+        r1 = int(np.asarray(mxu_count(planes, ids)).sum(dtype=np.int64))
+        r2 = int(np.asarray(gather_count(flat, ids)).sum(dtype=np.int64))
         assert r1 == r2, (r1, r2)
         dt_m = timed(lambda: int(np.asarray(mxu_count(planes, ids))
-                                 .sum(np.int64)))
+                                 .sum(dtype=np.int64)))
         dt_g = timed(lambda: int(np.asarray(gather_count(flat, ids))
-                                 .sum(np.int64)))
+                                 .sum(dtype=np.int64)))
         print(f"exp2 S={s_dim:5d}: mxu {n/dt_m/1e6:8.1f} M sym/s   "
               f"gather {n/dt_g/1e6:8.1f} M sym/s   "
               f"mxu/gather = {dt_g/dt_m:.2f}x")
+
+
+def exp2b():
+    """Crossover placement: MXU k=1 vs the PRODUCTION k=2 packed gather at
+    small S — decides the auto-select threshold for the MXU engine."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    Vk = V * V
+    for s_dim in (128, 256, 512, 1024):
+        # k=2 packed table (small: 128*784*4 = 392 KB at S=128)
+        packed_np = ((rng.integers(0, s_dim, size=s_dim * Vk, dtype=np.int64)
+                      << 2) |
+                     rng.integers(0, 4, size=s_dim * Vk, dtype=np.int64)
+                     ).astype(np.int32)
+        packed2 = jnp.asarray(packed_np)
+        grams = jnp.asarray(rng.integers(0, Vk, size=(L // 2, B),
+                                         dtype=np.int32))
+
+        @jax.jit
+        def gather2_count(packed2, grams):
+            s0 = grams[0] * 0
+            zero = grams[0] * 0
+
+            def step(carry, g):
+                s, tot = carry
+                e = packed2.at[s * Vk + g].get(mode="promise_in_bounds")
+                return (e >> 2, tot + (e & 3)), None
+
+            (_, tot), _ = lax.scan(step, (s0, zero), grams)
+            return tot
+
+        n = L * B  # symbols: L/2 grams x 2 symbols each
+        dt = timed(lambda: int(np.asarray(gather2_count(packed2, grams))
+                               .sum(dtype=np.int64)))
+        print(f"exp2b S={s_dim:5d}: k=2 gather "
+              f"({s_dim*Vk*4/1024:.0f} KB table) "
+              f"{n/dt/1e6:8.1f} M sym/s")
 
 
 def exp3():
@@ -242,20 +282,82 @@ def exp3():
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         )
         try:
-            r = int(np.asarray(jax.jit(fn)(table, grams)).sum(np.int64))
+            r = int(np.asarray(jax.jit(fn)(table, grams)).sum(dtype=np.int64))
             dt = timed(lambda: int(np.asarray(jax.jit(fn)(table, grams))
-                                   .sum(np.int64)))
+                                   .sum(dtype=np.int64)))
             n = L * B
             print(f"exp3 S={s_dim} k={k} ({n_entries*4/1024:.0f} KB table): "
                   f"OK {n/dt/1e6:.1f} M sym/s (sum={r})")
         except Exception as e:
-            msg = str(e).splitlines()[0][:200]
+            lines = str(e).splitlines() or [repr(e)]
             print(f"exp3 S={s_dim} k={k} ({n_entries*4/1024:.0f} KB table): "
-                  f"REJECTED: {type(e).__name__}: {msg}")
+                  f"REJECTED: {type(e).__name__}: {lines[0][:200]}")
+
+
+def exp3b():
+    """Pallas VMEM gather, 2D form: Mosaic's rejection message for 1D says
+    'Only 2D gather is supported' — probe whether table.reshape(-1, 128)
+    indexed with (row, lane) vectors compiles, and at what rate."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+    for s_dim, k in ((4096, 2),):
+        Vk = V ** k
+        n_entries = s_dim * Vk
+        rows = -(-n_entries // 128)
+        packed_np = ((rng.integers(0, s_dim, size=rows * 128, dtype=np.int64)
+                      << 2) |
+                     rng.integers(0, 4, size=rows * 128, dtype=np.int64)
+                     ).astype(np.int32).reshape(rows, 128)
+        table = jnp.asarray(packed_np)
+        grams = jnp.asarray(rng.integers(0, Vk, size=(L, B), dtype=np.int32))
+
+        def kernel(table_ref, grams_ref, out_ref):
+            Lk = grams_ref.shape[0]
+            table = table_ref[:]
+
+            def body(t, carry):
+                s, tot = carry
+                idx = s * Vk + grams_ref[t, :]
+                e = table[idx // 128, idx % 128]
+                return e >> 2, tot + (e & 3)
+
+            s0 = jnp.zeros((grams_ref.shape[1],), jnp.int32)
+            s, tot = lax.fori_loop(0, Lk, body, (s0, s0))
+            out_ref[:] = tot
+
+        fn = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B,), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        try:
+            jfn = jax.jit(fn)
+            r = int(np.asarray(jfn(table, grams)).sum(dtype=np.int64))
+            dt = timed(lambda: int(np.asarray(jfn(table, grams))
+                                   .sum(dtype=np.int64)))
+            n = L * B
+            print(f"exp3b S={s_dim} k={k} ({rows*128*4/1e6:.0f} MB table): "
+                  f"OK {n/dt/1e6:.1f} M sym/s ({n/k/dt/1e6:.1f} M gathers/s,"
+                  f" sum={r})")
+        except Exception as e:
+            lines = str(e).splitlines() or [repr(e)]
+            print(f"exp3b S={s_dim} k={k}: REJECTED: "
+                  f"{type(e).__name__}: {lines[0][:300]}")
+            # Mosaic's _gather_lowering_rule asserts
+            # indices.shape == operand.shape + (1,): "2D gather" means a
+            # same-shape dynamic shuffle only — a large lookup table can
+            # NOT be vector-gathered in a Pallas kernel on this toolchain.
 
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    for name in ("exp1", "exp1b", "exp2", "exp3"):
+    for name in ("exp1", "exp1b", "exp2", "exp2b", "exp3", "exp3b"):
         if which in ("all", name):
             globals()[name]()

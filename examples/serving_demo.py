@@ -34,7 +34,13 @@ import aho_corasick_1975_tpu as ac
 class MatchServer(socketserver.ThreadingTCPServer):
     """Shared machine + scanner; per-connection sessions are made by the
     handler. One lock serializes device work (scans and snapshot refresh —
-    refresh() donates buffers, so it must not race an in-flight scan)."""
+    refresh() donates buffers, so it must not race an in-flight scan).
+
+    add_keyword deliberately runs OUTSIDE device_lock: keyword insertion
+    and Machine.compile() are made atomic by the machine's own internal
+    lock (the reference's machine mutex, c:295,344), so a handler thread
+    inserting while another refreshes cannot observe a torn snapshot; the
+    device_lock's only job is scanner buffer exclusion."""
 
     allow_reuse_address = True
     daemon_threads = True
