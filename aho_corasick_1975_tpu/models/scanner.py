@@ -346,7 +346,8 @@ class DenseScanner:
         if n == 0:
             return np.zeros(0, dtype=np.int64)
         t0 = time.perf_counter()
-        k = self._stepped.k if self._stepped is not None else 1
+        k = (self._stepped.k
+             if self._stepped is not None and self._mxu is None else 1)
         unit = 128 * k
         L = unit
         longest = max(len(e) for e in encoded)
@@ -356,7 +357,12 @@ class DenseScanner:
         tm = np.zeros((L, B), dtype=np.int32)
         for j, e in enumerate(encoded):
             tm[:len(e), j] = e
-        if self._stepped is not None:
+        if self._mxu is not None:
+            from ..ops import scan_mxu
+            planes, cbits, n_planes, S_pad = self._mxu
+            fn = scan_mxu.make_mxu_count(self.V, S_pad, cbits, n_planes)
+            per_stream = fn(planes, jnp.asarray(tm))
+        elif self._stepped is not None:
             from ..ops import multistep as ms
             st = self._stepped
             if st.packed is not None:

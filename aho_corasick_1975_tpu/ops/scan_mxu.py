@@ -74,6 +74,37 @@ def build_planes(delta: np.ndarray, nb_outputs: np.ndarray
     return planes, count_bits, n_planes, S_pad
 
 
+def mxu_count_core(V: int, S_pad: int, count_bits: int, n_planes: int,
+                   halo: int, planes, win):
+    """Shared scan body: win [halo+L, B] time-major symbol ids in, per-
+    stream int32 totals [B] out. Rows t < halo are warm-up (counts
+    suppressed) — same contract as scan_xla.blocked_count_core, usable
+    both under jit and inside shard_map local functions."""
+    mask = (1 << count_bits) - 1
+    eyeS = jnp.arange(S_pad, dtype=jnp.int32)
+    eyeV = jnp.arange(V, dtype=jnp.int32)
+    s0 = win[0] * 0
+    zero = win[0] * 0
+
+    def step(carry, tc):
+        t, c = tc
+        s, tot = carry
+        onehot = (s[:, None] == eyeS[None, :]).astype(jnp.int8)
+        R = lax.dot_general(onehot, planes, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        oc = (c[:, None] == eyeV[None, :]).astype(jnp.int32)
+        e = zero
+        for p in range(n_planes):
+            e = e + (jnp.sum(R[:, p * V:(p + 1) * V] * oc, axis=1)
+                     << (DIGIT_BITS * p))
+        cnt = jnp.where(t >= halo, e & mask, 0)
+        return (e >> count_bits, tot + cnt), None
+
+    ts = jnp.arange(win.shape[0], dtype=jnp.int32)
+    (_, tot), _ = lax.scan(step, (s0, zero), (ts, win))
+    return tot
+
+
 @lru_cache(maxsize=None)
 def make_mxu_count_stream(V: int, S_pad: int, count_bits: int,
                           n_planes: int, halo: int, B: int, L: int):
@@ -85,28 +116,20 @@ def make_mxu_count_stream(V: int, S_pad: int, count_bits: int,
     @jax.jit
     def count(planes, ext):
         win = window_layout(ext, B, L, halo)        # [halo+L, B]
-        mask = (1 << count_bits) - 1
-        eyeS = jnp.arange(S_pad, dtype=jnp.int32)
-        eyeV = jnp.arange(V, dtype=jnp.int32)
-        s0 = win[0] * 0
-        zero = win[0] * 0
+        return mxu_count_core(V, S_pad, count_bits, n_planes, halo,
+                              planes, win)
 
-        def step(carry, tc):
-            t, c = tc
-            s, tot = carry
-            onehot = (s[:, None] == eyeS[None, :]).astype(jnp.int8)
-            R = lax.dot_general(onehot, planes, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-            oc = (c[:, None] == eyeV[None, :]).astype(jnp.int32)
-            e = zero
-            for p in range(n_planes):
-                e = e + (jnp.sum(R[:, p * V:(p + 1) * V] * oc, axis=1)
-                         << (DIGIT_BITS * p))
-            cnt = jnp.where(t >= halo, e & mask, 0)
-            return (e >> count_bits, tot + cnt), None
+    return count
 
-        ts = jnp.arange(win.shape[0], dtype=jnp.int32)
-        (_, tot), _ = lax.scan(step, (s0, zero), (ts, win))
-        return tot
+
+@lru_cache(maxsize=None)
+def make_mxu_count(V: int, S_pad: int, count_bits: int, n_planes: int):
+    """Time-major batch count (the count_many shape): tm [L, B] in with
+    every stream starting at the root (halo 0, OOV padding inert), per-
+    stream totals [B] out."""
+
+    @jax.jit
+    def count(planes, tm):
+        return mxu_count_core(V, S_pad, count_bits, n_planes, 0, planes, tm)
 
     return count

@@ -146,6 +146,63 @@ def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
 
 
 @lru_cache(maxsize=None)
+def make_sharded_mxu_count(mesh: Mesh, V: int, S_pad: int, count_bits: int,
+                           n_planes: int, halo: int,
+                           n_streams_per_device: int = 256,
+                           axis_name: str = DATA_AXIS):
+    """Mesh-wide count through the MXU digit-matmul engine (small automata;
+    ops/scan_mxu.py): planes replicated, corpus sharded, same ppermute halo
+    handoff and two-level int32/int64 reduction as make_sharded_count."""
+    from ..ops.scan_mxu import mxu_count_core
+    n_dev = mesh.shape[axis_name]
+
+    def local_count(planes, head, ids_local):
+        ids_local = ids_local.reshape(-1)
+        Tl = ids_local.shape[0]
+        left = _right_shift_halo(ids_local, halo, axis_name, n_dev, head)
+        B = min(n_streams_per_device, max(1, Tl // 64))
+        L = -(-Tl // B)
+        pad = B * L - Tl
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
+        win = window_layout(ext, B, L, halo)
+        tot = mxu_count_core(V, S_pad, count_bits, n_planes, halo,
+                             planes, win)                   # [B] int32
+        return lax.all_gather(tot, axis_name)
+
+    inner = jax.jit(jax.shard_map(local_count, mesh=mesh,
+                                  in_specs=(P(), P(), P(axis_name)),
+                                  out_specs=P(), check_vma=False))
+
+    def fn(planes, ids, head=None):
+        if head is None:
+            head = np.zeros(halo, np.int32)
+        return inner(planes, head, ids)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def make_sharded_mxu_count_many(mesh: Mesh, V: int, S_pad: int,
+                                count_bits: int, n_planes: int,
+                                axis_name: str = DATA_AXIS):
+    """Batched per-document counts through the MXU engine, stream axis
+    sharded (documents start at the root: halo 0)."""
+    from ..ops.scan_mxu import mxu_count_core
+
+    def local(planes, tm):
+        L = tm.shape[0]
+        tot = mxu_count_core(V, S_pad, count_bits, n_planes, 0, planes,
+                             tm.reshape(L, -1))
+        return lax.all_gather(tot, axis_name)
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(None, axis_name)),
+                       out_specs=P(), check_vma=False)
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
 def make_sharded_scan_states(mesh: Mesh, V: int, halo: int,
                              n_streams_per_device: int = 256,
                              axis_name: str = DATA_AXIS):
@@ -299,12 +356,22 @@ class ShardedScanner:
     def __init__(self, machine, mesh: Mesh, n_streams_per_device: int = 256,
                  axis_name: str = DATA_AXIS, tables=None,
                  step_k: "int | str" = "auto",
-                 step_budget_bytes: int = 128 * 1024 * 1024):
+                 step_budget_bytes: int = 128 * 1024 * 1024,
+                 engine: str = "auto"):
+        """``engine``: same contract as DenseScanner — "gather" (packed
+        k-gram gather, default workhorse), "mxu" (one-hot digit-matmul
+        count engine, small automata only, raises when oversize), "auto"
+        (MXU when measured-faster: TPU backend and within the
+        ops/scan_mxu.py crossover envelope)."""
+        if engine not in ("auto", "gather", "mxu"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self._engine = engine
         self.machine = machine
         self.mesh = mesh
         self.axis_name = axis_name
         self.n_dev = mesh.shape[axis_name]
         repl = NamedSharding(mesh, P())
+        self._repl = repl
         self._shard = NamedSharding(mesh, P(axis_name))
         # Replicated capacity-padded snapshot (same refresh machinery as
         # DenseScanner; the sharded kernels only take packed stepped tables).
@@ -372,6 +439,27 @@ class ShardedScanner:
         else:
             self._halo_steps = 0
             self._halo_sym = 0
+        # MXU digit-matmul count engine (ops/scan_mxu.py), planes
+        # replicated; rebuilt on every (re)bind so refresh() keeps it in
+        # sync with the dictionary (S is small by construction). Same auto
+        # gate as DenseScanner: TPU backend + measured-crossover envelope.
+        self._mxu = None
+        if self._engine in ("auto", "mxu"):
+            from ..ops import scan_mxu
+            built = scan_mxu.build_planes(self.tables.delta,
+                                          self.tables.nb_outputs)
+            if built is not None:
+                planes, cbits, n_planes, S_pad = built
+                on_tpu = jax.default_backend() != "cpu"
+                flops_ok = S_pad * n_planes * self.V <= 512 * 3 * 32
+                if self._engine == "mxu" or (on_tpu and flops_ok):
+                    self._mxu = (jax.device_put(planes, self._repl),
+                                 cbits, n_planes, S_pad)
+            if self._mxu is None and self._engine == "mxu":
+                raise ValueError(
+                    "automaton too large for the MXU engine (padded states "
+                    "or digit planes over the ops/scan_mxu.py limits); use "
+                    "engine='gather'")
 
     def refresh(self) -> bool:
         """Catch the replicated device snapshot up with the machine's
@@ -420,7 +508,14 @@ class ShardedScanner:
         if len(ids) == 0:
             return 0
         placed, _ = self._pad_and_place(ids)
-        if self._stepped is not None:
+        if self._mxu is not None:
+            planes, cbits, n_planes, S_pad = self._mxu
+            fn = make_sharded_mxu_count(
+                self.mesh, self.V, S_pad, cbits, n_planes, self.halo,
+                self._n_streams_per_device, self.axis_name)
+            per_stream = fn(planes, placed,
+                            head=self._head_arr(head, self.halo))
+        elif self._stepped is not None:
             per_stream = self._stepped_count(
                 self._st_packed, placed,
                 head=self._head_arr(head, self._halo_sym))
@@ -450,7 +545,8 @@ class ShardedScanner:
         n = len(encoded)
         if n == 0:
             return np.zeros(0, np.int64)
-        k = self._stepped.k if self._stepped is not None else 1
+        k = (self._stepped.k
+             if self._stepped is not None and self._mxu is None else 1)
         unit = 128 * k
         L = unit
         longest = max((len(e) for e in encoded), default=1)
@@ -466,7 +562,12 @@ class ShardedScanner:
         placed = jax.device_put(
             tm, NamedSharding(self.mesh, P(None, self.axis_name)))
         st = self._stepped
-        if st is not None and st.packed is not None:
+        if self._mxu is not None:
+            planes, cbits, n_planes, S_pad = self._mxu
+            fn = make_sharded_mxu_count_many(
+                self.mesh, self.V, S_pad, cbits, n_planes, self.axis_name)
+            per_stream = fn(planes, placed)
+        elif st is not None and st.packed is not None:
             fn = make_sharded_stepped_count_many(
                 self.mesh, st.V, st.k, st.Vk, st.count_bits, self.axis_name)
             per_stream = fn(self._st_packed, placed)

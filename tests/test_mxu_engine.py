@@ -61,6 +61,44 @@ def test_mxu_rejects_large_automaton():
     assert sc.count("abcdefgh") >= 0
 
 
+def test_mxu_count_many_parity():
+    m, rng = _machine()
+    mxu = m.scanner(n_streams=8, engine="mxu")
+    gather = m.scanner(n_streams=8, engine="gather")
+    docs = ["".join(rng.choice("abcdx ") for _ in range(rng.randint(0, 700)))
+            for _ in range(13)]
+    np.testing.assert_array_equal(mxu.count_many(docs),
+                                  gather.count_many(docs))
+
+
+def test_mxu_sharded_count_and_count_many_parity():
+    import jax
+
+    from aho_corasick_1975_tpu.parallel.mesh import make_mesh
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    m, rng = _machine()
+    mesh = make_mesh()
+    mxu = ShardedScanner(m, mesh, n_streams_per_device=8, engine="mxu")
+    gather = ShardedScanner(m, mesh, n_streams_per_device=8,
+                            engine="gather")
+    assert mxu._mxu is not None and gather._mxu is None
+    text = "".join(rng.choice("abcdx ") for _ in range(20000))
+    assert mxu.count(text) == gather.count(text) \
+        == m.scanner(n_streams=8).count(text)
+    docs = ["".join(rng.choice("abcdx ") for _ in range(rng.randint(0, 500)))
+            for _ in range(11)]
+    np.testing.assert_array_equal(mxu.count_many(docs),
+                                  gather.count_many(docs))
+    # session carry through the MXU sharded kernels (chunk edges exact)
+    sess = mxu.session()
+    total = sum(sess.feed_count(text[i:i + 3000])
+                for i in range(0, len(text), 3000))
+    assert total == gather.count(text)
+
+
 def test_mxu_plane_packing_roundtrip():
     from aho_corasick_1975_tpu.ops.scan_mxu import (DIGIT_BITS, DIGIT_MASK,
                                                     build_planes)
