@@ -51,15 +51,28 @@ class DenseScanner:
                  tables: Optional[DenseTables] = None,
                  step_k: "int | str" = "auto",
                  step_budget_bytes: int = 128 * 1024 * 1024,
-                 engine: str = "auto"):
+                 engine: str = "auto",
+                 prefilter: str = "off"):
         """``engine``: "gather" (packed-table gather scan, the default
         workhorse), "mxu" (one-hot digit-matmul — small automata only,
         raises if the dictionary does not fit), or "auto" (use the MXU
         engine when the automaton is small enough that it measures faster
-        on TPU; see ops/scan_mxu.py)."""
+        on TPU; see ops/scan_mxu.py).
+
+        ``prefilter``: "off" (default), "auto", or "on" — the hybrid
+        filter-then-verify count path for low-match-density corpora
+        (ops/sparse.py): a host bandwidth pass marks the symbol blocks
+        that contain any keyword letter, and the device scans ONLY those
+        (exact, via the OOV-resets-to-root contract). "auto" engages when
+        at most half the blocks are live; "on" always takes the sparse
+        kernel (useful for benchmarking; it only adds overhead on dense
+        corpora)."""
         if engine not in ("auto", "gather", "mxu"):
             raise ValueError(f"unknown engine {engine!r}")
+        if prefilter not in ("off", "auto", "on"):
+            raise ValueError(f"unknown prefilter {prefilter!r}")
         self._engine = engine
+        self._prefilter = prefilter
         self.machine = machine
         self._halo_auto = halo is None
         # "auto": scale the stream count with the input at layout time
@@ -297,6 +310,11 @@ class DenseScanner:
         if len(ids) == 0:
             return 0
         t0 = time.perf_counter()
+        if self._prefilter != "off":
+            n = self._sparse_count(ids, head)
+            if n is not None:
+                self._record("count", len(ids), time.perf_counter() - t0)
+                return n
         st = self._stepped
         if self._mxu is not None:
             from ..ops import scan_mxu
@@ -324,6 +342,64 @@ class DenseScanner:
         n = int(np.asarray(per_stream).sum(dtype=np.int64))
         self._record("count", len(ids), time.perf_counter() - t0)
         return n
+
+    def _sparse_count(self, ids: np.ndarray, head) -> Optional[int]:
+        """Filter-then-verify count (ops/sparse.py): host bandwidth pass
+        marks live L_blk-symbol blocks; the device gathers and scans only
+        their halo windows. Returns None when not profitable ("auto" with
+        more than half the blocks live) or not applicable (halo wider than
+        a block), letting count() fall through to the dense kernels."""
+        from ..ops import sparse
+        st = self._stepped
+        use_stepped = (self._mxu is None and st is not None
+                       and st.packed is not None)
+        k = st.k if use_stepped else 1
+        halo = self._halo_sym if use_stepped else self.halo
+        L_blk = 128 * k
+        if halo > L_blk:
+            return None
+        T = len(ids)
+        nB_real = -(-T // L_blk)
+        live = sparse.live_blocks(ids, L_blk)
+        n_live = int(live.sum())
+        self.stats["sparse_live_frac"] = n_live / nB_real
+        if n_live == 0:
+            return 0  # all-OOV: nothing can match, no device launch
+        if self._prefilter == "auto" and n_live * 2 > nB_real:
+            return None
+        # pow2 buckets so steady sizes reuse one compiled kernel
+        nB = 1 << (nB_real - 1).bit_length()
+        cap = max(8, 1 << (n_live - 1).bit_length())
+        n_ext = halo + (nB + 1) * L_blk
+        key = ("sparse", n_ext)
+        buf = self._ext_bufs.get(key) if self._reuse_buf else None
+        if buf is None:
+            buf = np.zeros(n_ext, np.int32)
+            if self._reuse_buf:
+                self._ext_bufs[key] = buf
+        buf[:halo] = 0
+        if head is not None and len(head) and halo:
+            h = min(len(head), halo)
+            buf[halo - h:halo] = head[-h:]
+        buf[halo:halo + T] = ids
+        buf[halo + T:] = 0
+        idx = np.full(cap, nB, np.int32)   # pad -> the spare all-OOV block
+        idx[:n_live] = np.flatnonzero(live)
+        if self._mxu is not None:
+            planes, cbits, n_planes, S_pad = self._mxu
+            fn = sparse.make_sparse_count_mxu(
+                self.V, S_pad, cbits, n_planes, halo, L_blk, nB, cap)
+            per = fn(planes, jnp.asarray(buf), jnp.asarray(idx))
+        elif use_stepped:
+            fn = sparse.make_sparse_count_stepped(
+                st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
+                L_blk, nB, cap)
+            per = fn(self._st_dev[0], jnp.asarray(buf), jnp.asarray(idx))
+        else:
+            fn = sparse.make_sparse_count(self.V, halo, L_blk, nB, cap)
+            per = fn(self._dflat, self._nb_out, jnp.asarray(buf),
+                     jnp.asarray(idx))
+        return int(np.asarray(per).sum(dtype=np.int64))
 
     def count_many(self, docs: Sequence[Sequence[Any]]) -> np.ndarray:
         """Per-document match counts for a batch of independent documents,

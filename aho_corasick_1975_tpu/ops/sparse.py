@@ -1,0 +1,122 @@
+"""Hybrid filter-then-verify scanning for low-match-density corpora.
+
+The reference walks every input symbol through state_goto
+(/root/reference/aho_corasick.c:167-192, 433-448) — O(1) per symbol no
+matter how little of the corpus can possibly match. On TPU the automaton
+scan is gather-rate bound (~4-8 ns/symbol, BENCHMARKS.md), while a
+"can this region match at all?" test is pure bandwidth. This module
+exploits the vocabulary's OOV contract to skip the automaton over the
+dead parts of the corpus EXACTLY:
+
+* Vocab id 0 = OOV = "appears in no keyword" (utils/vocab.py:15). By
+  fail-collapse, delta[s, 0] == root for EVERY state s, and the root
+  never emits (empty keywords are rejected). Therefore
+    - no match ends inside an all-OOV region, and
+    - the automaton state at the first symbol AFTER an all-OOV block is
+      exactly the root.
+
+* Cut the stream into fixed blocks of ``L_blk`` symbols. Only blocks
+  containing a non-OOV symbol ("live" blocks) can contribute counts.
+  Each live block is scanned as one stream column of the standard
+  halo-windowed blocked kernel: its window is [the ``halo`` symbols
+  that precede it in the ORIGINAL stream] + [its L_blk symbols], and
+  warm-up counts are suppressed — the ordinary sequence-parallel
+  blocking argument (ops/blocking.py) applied to a subset of blocks.
+  Dead blocks need no window at all: their own positions emit nothing,
+  and a live block following a dead one warms up from root over zeros.
+
+The filter (per-block any-non-OOV) runs on the host in one vectorized
+numpy pass over the already-encoded ids — far above the device scan
+rate — and decides the gather index list; the device then gathers ONLY
+the live windows (two row gathers, ~0.5-1 KB per row) and runs the same
+packed k-gram (or dense) count core as the dense path. Effective
+throughput scales as 1/density: a corpus where 1% of blocks are live
+scans ~30-60x faster than the dense kernel (benchmarks/bench_sparse.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["live_blocks", "make_sparse_count", "make_sparse_count_stepped",
+           "make_sparse_count_mxu"]
+
+
+def live_blocks(ids: np.ndarray, L_blk: int) -> np.ndarray:
+    """Host filter pass: bool[ceil(T/L_blk)] — block contains a non-OOV id.
+    Letter ids are non-negative, so a row-max reduce is the fastest exact
+    formulation (measured ~35 GB/s vs ~8 GB/s for `(!=0).any(axis=1)`,
+    which materializes a bool temp). The tail block is judged on its real
+    symbols only (padding is OOV and therefore dead)."""
+    T = len(ids)
+    nB = -(-T // L_blk)
+    if nB * L_blk != T:
+        ids = np.concatenate([ids, np.zeros(nB * L_blk - T, np.int32)])
+    return ids.reshape(nB, L_blk).max(axis=1) != 0
+
+
+def _window_gather(ext, idx, nB: int, L_blk: int, halo: int):
+    """Gather live-block windows: ext [halo + (nB+1)*L_blk] (head halo in
+    front, one all-OOV spare block at the end for padding columns),
+    idx [cap] int32 block indices (pad slots point at the spare block nB).
+    Returns [halo + L_blk, cap] time-major symbol windows."""
+    body2d = ext[halo:].reshape(nB + 1, L_blk)
+    # halo of block b = ext[b*L_blk : b*L_blk + halo]; with halo <= L_blk
+    # these are the leading columns of the unshifted reshape.
+    halo2d = ext[:(nB + 1) * L_blk].reshape(nB + 1, L_blk)[:, :halo]
+    win = jnp.concatenate([halo2d[idx], body2d[idx]], axis=1)  # [cap, h+L]
+    return win.T
+
+
+@lru_cache(maxsize=None)
+def make_sparse_count(V: int, halo: int, L_blk: int, nB: int, cap: int):
+    """Dense-table sparse count: (dflat, nb_out, ext, idx) -> per-window
+    int32 totals [cap]. ext/idx contract in _window_gather."""
+    from .scan_xla import blocked_count_core
+
+    @jax.jit
+    def count(dflat, nb_out, ext, idx):
+        win = _window_gather(ext, idx, nB, L_blk, halo)
+        return blocked_count_core(V, halo, dflat, nb_out, win)
+
+    return count
+
+
+@lru_cache(maxsize=None)
+def make_sparse_count_mxu(V: int, S_pad: int, count_bits: int,
+                          n_planes: int, halo: int, L_blk: int, nB: int,
+                          cap: int):
+    """Sparse count through the MXU digit-matmul engine (small automata,
+    ops/scan_mxu.py) — the two fast paths compose."""
+    from .scan_mxu import mxu_count_core
+
+    @jax.jit
+    def count(planes, ext, idx):
+        win = _window_gather(ext, idx, nB, L_blk, halo)
+        return mxu_count_core(V, S_pad, count_bits, n_planes, halo,
+                              planes, win)
+
+    return count
+
+
+@lru_cache(maxsize=None)
+def make_sparse_count_stepped(V: int, k: int, Vk: int, count_bits: int,
+                              halo_steps: int, L_blk: int, nB: int,
+                              cap: int):
+    """Packed k-gram sparse count (the fast core; L_blk and the halo are
+    multiples of k so gram boundaries align)."""
+    from .multistep import stepped_count_core
+
+    halo = halo_steps * k
+
+    @jax.jit
+    def count(packed, ext, idx):
+        win = _window_gather(ext, idx, nB, L_blk, halo)
+        return stepped_count_core(V, k, Vk, count_bits, halo_steps,
+                                  packed, win)
+
+    return count

@@ -1,0 +1,124 @@
+"""Filter-then-verify sparse count (ops/sparse.py) — exactness against the
+dense kernels and the brute-force oracle on low-density corpora, across all
+three cores (dense gather, packed k-gram, MXU) and the session carry."""
+
+import random
+
+import numpy as np
+import pytest
+
+import aho_corasick_1975_tpu as ac
+
+
+def _brute_count(text, keywords):
+    return sum(sum(1 for i in range(len(text) - len(k) + 1)
+                   if text[i:i + len(k)] == k) for k in keywords)
+
+
+def _sparse_text(rng, n, keywords, density=0.01, filler="0123456789+-*/"):
+    """Mostly-OOV text with keyword letters (and full keywords) sprinkled."""
+    chars = [rng.choice(filler) for _ in range(n)]
+    i = 0
+    while i < n - 10:
+        if rng.random() < density:
+            kw = rng.choice(keywords)
+            if rng.random() < 0.5:  # full keyword
+                chars[i:i + len(kw)] = list(kw)
+                i += len(kw)
+            else:  # stray keyword letters (live but matchless noise)
+                chars[i] = rng.choice(kw)
+                i += 1
+        i += rng.randint(1, 200)
+    return "".join(chars)
+
+
+KEYWORDS = ["needle", "haystack", "nee", "ack", "stacks", "ey", "needles"]
+
+
+@pytest.mark.parametrize("mode", ["on", "auto"])
+def test_sparse_count_matches_dense_and_oracle(mode):
+    rng = random.Random(11)
+    m = ac.Machine()
+    for kw in KEYWORDS:
+        m.insert_keyword(kw)
+    dense = m.scanner(n_streams=8, engine="gather")
+    sp = m.scanner(n_streams=8, engine="gather", prefilter=mode)
+    for n in (100, 5000, 60000):
+        text = _sparse_text(rng, n, KEYWORDS)
+        want = _brute_count(text, KEYWORDS)
+        assert sp.count(text) == dense.count(text) == want
+    assert "sparse_live_frac" in sp.stats
+
+
+def test_sparse_dense_corpus_exact_and_auto_fallback():
+    rng = random.Random(5)
+    m = ac.Machine()
+    for kw in ["ab", "bc", "abc", "ca"]:
+        m.insert_keyword(kw)
+    text = "".join(rng.choice("abc") for _ in range(30000))  # 100% live
+    want = m.scanner(n_streams=8).count(text)
+    on = m.scanner(n_streams=8, prefilter="on")
+    assert on.count(text) == want          # "on" stays exact when dense
+    assert on.stats["sparse_live_frac"] == 1.0
+    auto = m.scanner(n_streams=8, prefilter="auto")
+    assert auto.count(text) == want        # falls through to dense kernels
+
+
+def test_sparse_all_oov_short_circuits():
+    m = ac.Machine()
+    m.insert_keyword("xyz")
+    sp = m.scanner(prefilter="on")
+    assert sp.count("0123456789" * 500) == 0
+    assert sp.stats["sparse_live_frac"] == 0.0
+
+
+def test_sparse_match_spanning_block_edge():
+    m = ac.Machine()
+    m.insert_keyword("needle")
+    sp = m.scanner(prefilter="on", engine="gather")
+    for edge in (128, 256, 131072):  # keyword straddles an L_blk boundary
+        text = list("." * (edge + 64))
+        text[edge - 3:edge + 3] = "needle"
+        text = "".join(text)
+        assert sp.count(text) == 1, edge
+
+
+def test_sparse_stepped_and_mxu_cores():
+    rng = random.Random(23)
+    # MXU-small machine: sparse+mxu compose
+    m = ac.Machine()
+    for kw in ["nee", "dle", "ndl"]:
+        m.insert_keyword(kw)
+    text = _sparse_text(rng, 40000, ["nee", "dle", "ndl"])
+    want = _brute_count(text, ["nee", "dle", "ndl"])
+    mxu = m.scanner(engine="mxu", prefilter="on")
+    assert mxu._mxu is not None
+    assert mxu.count(text) == want
+    # force the packed stepped core (gather engine, larger machine)
+    big = ac.Machine()
+    big.insert_keywords(["".join(rng.choice("nedl") for _ in range(6))
+                         for _ in range(300)] + ["needle"])
+    sc = big.scanner(engine="gather", prefilter="on")
+    assert sc._stepped is not None and sc._stepped.packed is not None
+    dense = big.scanner(engine="gather")
+    text2 = _sparse_text(rng, 50000, ["needle", "nedd", "ledde"])
+    assert sc.count(text2) == dense.count(text2)
+
+
+def test_sparse_session_carry_across_chunks():
+    m = ac.Machine()
+    m.insert_keyword("needle")
+    sp = m.scanner(prefilter="on")
+    text = list("." * 4000)
+    text[1998:2004] = "needle"  # spans the chunk edge at 2000
+    text = "".join(text)
+    sess = sp.session()
+    total = sess.feed_count(text[:2000]) + sess.feed_count(text[2000:])
+    assert total == 1
+
+
+def test_sparse_rejects_bad_mode():
+    m = ac.Machine()
+    m.insert_keyword("a")
+    with pytest.raises(ValueError, match="prefilter"):
+        m.scanner(prefilter="yes")
