@@ -41,6 +41,20 @@ ROOT = 0
 OOV = 0  # reserved dense letter id: not part of any keyword
 NO_STATE = -1
 
+_CAP_CLAIM_LOCK = threading.Lock()
+
+
+def round_cap(n: int) -> int:
+    """State capacity with headroom: ~n/8 rounded up to a unit of
+    max(1024, n/8), always leaving at least one unit of free growth.
+
+    Device tables are allocated at capacity so that Meyer-mode growth
+    (models/scanner.py:DenseScanner.refresh) updates rows in place —
+    stable array shapes, no XLA recompile — until the dictionary outgrows
+    the ~12.5% headroom."""
+    unit = max(1024, n >> 3)
+    return (n // unit + 1) * unit
+
 
 @dataclass
 class DenseTables:
@@ -64,6 +78,21 @@ class DenseTables:
     emit_state: np.ndarray   # int32 [E]  end-states along fail chain, longest first
     version: int             # machine.reconstruct-style snapshot version
     n_keywords: int
+    # Capacity-padded backing buffer of ``delta`` ([round_cap(S), V];
+    # ``delta`` is its first-S-rows view), emitted by the native backend so
+    # a DeviceSnapshot can adopt it without a second first-touch + copy of
+    # the whole table (~70 MB/s page faults on small hosts). Claimed at
+    # most once via claim_cap_delta(); None for the pure-Python backend.
+    cap_delta: Optional[np.ndarray] = None
+
+    def claim_cap_delta(self) -> Optional[np.ndarray]:
+        """Transfer ownership of the capacity buffer to the caller (one
+        claimant only — later claimants copy ``delta`` instead). The
+        claimant may rewrite rows in place on refresh, so it must be the
+        component that supersedes this snapshot's delta anyway."""
+        with _CAP_CLAIM_LOCK:
+            buf, self.cap_delta = self.cap_delta, None
+        return buf
 
     @property
     def n_states(self) -> int:

@@ -19,7 +19,7 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from .builder import NO_STATE, ROOT, DenseTables
+from .builder import NO_STATE, ROOT, DenseTables, round_cap
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                            "native")
@@ -73,6 +73,7 @@ def load_library():
         lib.acx_export_arrays.argtypes = [ct.c_void_p, i64] + [p(i32)] * 3 + \
             [p(u8)] + [p(i32)] * 3
         lib.acx_emit_delta.argtypes = [ct.c_void_p, i32, p(i32)]
+        lib.acx_emit_csr.argtypes = [ct.c_void_p, p(i32), p(i32)]
         lib.acx_export_edges.argtypes = [ct.c_void_p, i64, p(i32), p(i32),
                                          p(i32)]
         lib.acx_set_version.argtypes = [ct.c_void_p, i64]
@@ -322,52 +323,58 @@ class NativeBuilder:
         V = vocab_size if vocab_size is not None else self.max_letter + 1
         if V < self.max_letter + 1:
             raise ValueError("vocab_size smaller than largest letter id")
-        delta = np.empty((S, V), np.int32)
-        self._lib.acx_emit_delta(self._h, V, _ptr(delta, ct.c_int32))
+        # Emit straight into a capacity-padded calloc'd buffer: the tail
+        # rows cost nothing until touched (zero pages stay virtual), and a
+        # DeviceSnapshot can adopt the buffer outright instead of paying a
+        # second whole-table first-touch + copy (claim_cap_delta).
+        cap = round_cap(S)
+        cap_delta = np.zeros((cap, V), np.int32)
+        self._lib.acx_emit_delta(self._h, V, _ptr(cap_delta, ct.c_int32))
+        delta = cap_delta[:S]
 
-        # Emit CSR from the fail chain, self (longest) first — vectorized:
-        # process states in depth order so emits[fail[s]] is final.
+        # Emit CSR from the fail chain, self (longest) first, natively in
+        # depth order (was a per-state Python loop — seconds at 2.5M
+        # states; the reference's runtime walk is acm_get_match c:457-466).
         emit_start = np.zeros(S + 1, np.int32)
         emit_start[1:] = np.cumsum(nb_outputs)
         emit_state = np.empty(int(emit_start[-1]), np.int32)
-        order = np.argsort(depth, kind="stable")
-        for s in order:
-            n = nb_outputs[s]
-            if n == 0:
-                continue
-            base = emit_start[s]
-            f = fail[s]
-            if is_end[s]:
-                emit_state[base] = s
-                if n > 1:
-                    fb = emit_start[f]
-                    emit_state[base + 1:base + n] = \
-                        emit_state[fb:fb + n - 1]
-            else:
-                fb = emit_start[f]
-                emit_state[base:base + n] = emit_state[fb:fb + n]
+        self._lib.acx_emit_csr(self._h, _ptr(emit_start, ct.c_int32),
+                               _ptr(emit_state, ct.c_int32))
 
+        # No .copy(): _refresh() allocates a fresh array set per version,
+        # so snapshots never share storage across versions, and a
+        # DenseTables is immutable by contract.
         return DenseTables(
-            delta=delta, nb_outputs=nb_outputs.copy(), fail=fail.copy(),
-            depth=depth.copy(), is_end=is_end.copy(), kw_rank=kw_rank.copy(),
-            prev_state=prev_state.copy(), prev_letter=prev_letter.copy(),
+            delta=delta, nb_outputs=nb_outputs, fail=fail,
+            depth=depth, is_end=is_end, kw_rank=kw_rank,
+            prev_state=prev_state, prev_letter=prev_letter,
             emit_start=emit_start, emit_state=emit_state,
-            version=self.version, n_keywords=self.nb_sequences)
+            version=self.version, n_keywords=self.nb_sequences,
+            cap_delta=cap_delta)
 
 
 def compose_pack(delta: np.ndarray, nb: np.ndarray, k: int,
-                 count_bits: int) -> np.ndarray:
+                 count_bits: int, out: Optional[np.ndarray] = None
+                 ) -> np.ndarray:
     """Threaded native k-gram composition into a packed stepped table
     (acx_compose_pack) — the cold-start fast path used by
     ops/multistep.build_stepped; the numpy composition remains the
-    fallback and the test oracle."""
+    fallback and the test oracle. ``out``: optional destination with at
+    least S*V^k leading entries (e.g. a capacity-padded calloc buffer);
+    the composed view out[:S*V^k] is returned."""
     lib = load_library()
     S, V = delta.shape
     delta = np.ascontiguousarray(delta, np.int32)
     nb = np.ascontiguousarray(nb, np.int32)
-    out = np.empty(S * (V ** k), np.int32)
+    n = S * (V ** k)
+    if out is None:
+        out = np.empty(n, np.int32)
+    else:
+        assert out.size >= n and out.dtype == np.int32 \
+            and out.flags.c_contiguous
+        out = out.reshape(-1)
     p32 = ct.POINTER(ct.c_int32)
     lib.acx_compose_pack(delta.ctypes.data_as(p32), nb.ctypes.data_as(p32),
                          ct.c_int64(S), ct.c_int32(V), ct.c_int32(k),
                          ct.c_int32(count_bits), out.ctypes.data_as(p32))
-    return out
+    return out[:n]

@@ -94,6 +94,7 @@ class Machine:
         # between the vocab-size read and the table emission. Match and
         # lookup paths stay lock-free, like the reference's scan (c:433).
         self._lock = threading.RLock()
+        self._compiled: Optional[DenseTables] = None
 
     # -- lifecycle / cursors ----------------------------------------------
 
@@ -279,7 +280,21 @@ class Machine:
         (double-checked ``reconstruct`` under the mutex, c:389-394).
         """
         with self._lock:
-            return self._b.emit_tables(vocab_size=self.vocab.size)
+            # Version cache: scanners call compile() on every refresh() to
+            # learn whether anything changed — at pod-dictionary scale a
+            # full emit is seconds of page faults, so a no-change compile
+            # must be free. The cached snapshot is keyed on (dictionary
+            # version, vocab size); states created by a keyword whose end
+            # was not yet inserted carry no outputs, so serving the cached
+            # snapshot then is exactly the documented consistency model
+            # (keywords become visible at the NEXT snapshot).
+            c = self._compiled
+            if (c is not None and c.version == self._b.version
+                    and c.vocab_size == self.vocab.size):
+                return c
+            tabs = self._b.emit_tables(vocab_size=self.vocab.size)
+            self._compiled = tabs
+            return tabs
 
     def scanner(self, **kwargs):
         """Build a device scanner over the current snapshot

@@ -77,8 +77,19 @@ class DeviceSnapshot:
         S = tables.n_states
         self.V = tables.vocab_size
         self.cap = ms.round_cap(S)
-        self.delta_host = np.zeros((self.cap, self.V), np.int32)
-        self.delta_host[:S] = tables.delta
+        # Adopt the emitter's capacity buffer when offered (native backend;
+        # same round_cap geometry): skips a second whole-table first-touch
+        # + copy — ~4 s at 2.5M states on a small host. While adopted,
+        # tables.delta aliases delta_host[:S]; any in-place mirror update
+        # therefore severs the aliasing first (copy-on-write in refresh).
+        buf = tables.claim_cap_delta()
+        if buf is not None and buf.shape == (self.cap, self.V):
+            self.delta_host = buf
+            self._delta_adopted = True
+        else:
+            self.delta_host = np.zeros((self.cap, self.V), np.int32)
+            self.delta_host[:S] = tables.delta
+            self._delta_adopted = False
         self.nb_host = np.zeros(self.cap, np.int32)
         self.nb_host[:S] = tables.nb_outputs
         self.dflat = self._place(self.delta_host.reshape(-1))
@@ -93,13 +104,14 @@ class DeviceSnapshot:
         self.st_dev: Tuple = ()
         self._pk_host = self._dk_host = self._ck_host = None
         if self.step_k > 1:
-            st = ms.build_stepped(tables, self.step_k)
+            st = ms.build_stepped(tables, self.step_k, cap_rows=self.cap)
             # the unpacked fallback needs two tables (8 bytes/entry);
             # degrade k until the actual footprint fits the budget
             while (st is not None and st.packed is None and self.step_k > 1
                    and S * (self.V ** st.k) * 8 > budget):
                 self.step_k -= 1
-                st = (ms.build_stepped(tables, self.step_k)
+                st = (ms.build_stepped(tables, self.step_k,
+                                       cap_rows=self.cap)
                       if self.step_k > 1 else None)
             if st is None or self.step_k <= 1:
                 self.step_k = max(1, self.step_k)
@@ -108,8 +120,14 @@ class DeviceSnapshot:
                 return
             self.stepped = st
             if st.packed is not None:
-                self._pk_host = np.zeros((self.cap, st.Vk), np.int32)
-                self._pk_host[:S] = st.packed.reshape(S, st.Vk)
+                # the snapshot built st itself, so adopting cap_packed as
+                # the host mirror shares memory with nobody else
+                if (st.cap_packed is not None
+                        and st.cap_packed.size == self.cap * st.Vk):
+                    self._pk_host = st.cap_packed.reshape(self.cap, st.Vk)
+                else:
+                    self._pk_host = np.zeros((self.cap, st.Vk), np.int32)
+                    self._pk_host[:S] = st.packed.reshape(S, st.Vk)
                 st.packed = self._pk_host[:S].reshape(-1)
                 self.st_dev = (self._place(self._pk_host.reshape(-1)),)
             else:
@@ -178,7 +196,19 @@ class DeviceSnapshot:
         # 1-char tables (scan_states / find_matches / fallback count).
         dvals = new.delta[rows1]
         nvals = new.nb_outputs[rows1]
-        self.delta_host[rows1] = dvals
+        # Host mirror: prefer adopting ``new``'s own capacity buffer (its
+        # rows already hold the post-refresh values, and the superseded
+        # snapshot's buffer is released unmutated); otherwise scatter in
+        # place, severing any aliasing with the superseded snapshot first.
+        nbuf = new.claim_cap_delta()
+        if nbuf is not None and nbuf.shape == (self.cap, self.V):
+            self.delta_host = nbuf
+            self._delta_adopted = True
+        else:
+            if self._delta_adopted:
+                self.delta_host = self.delta_host.copy()
+                self._delta_adopted = False
+            self.delta_host[rows1] = dvals
         self.nb_host[rows1] = nvals
         self.dflat = self._scatter(self.dflat, rows1, dvals, self.V)
         self.nb_out = self._scatter(self.nb_out, rows1, nvals, 1)

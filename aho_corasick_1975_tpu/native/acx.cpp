@@ -550,7 +550,7 @@ void acx_emit_delta(Machine* m, int32_t V, int32_t* delta) {
     }
   };
   unsigned hw = std::thread::hardware_concurrency();
-  size_t n_threads = hw > 2 ? hw / 2 : 1;
+  size_t n_threads = hw >= 4 ? hw / 2 : (hw ? hw : 1);
   size_t S = order.size();
   size_t level_start = 0;
   while (level_start < S) {
@@ -574,6 +574,36 @@ void acx_emit_delta(Machine* m, int32_t V, int32_t* delta) {
       for (auto& w : workers) w.join();
     }
     level_start = level_end;
+  }
+}
+
+// Fail-chain emit lists as CSR (the device-side replacement for
+// acm_get_match's runtime fail-chain walk, reference c:457-466): for every
+// state, the end-of-keyword states along its fail chain, self (longest)
+// first. emit_start is the caller-computed exclusive prefix sum of
+// nb_outputs (S+1 entries); emit_state (emit_start[S] entries) is filled
+// here. Depth order guarantees emit_state[fail[s]]'s list is final before
+// s copies it — same argument as acx_emit_delta's row copies.
+void acx_emit_csr(Machine* m, const int32_t* emit_start,
+                  int32_t* emit_state) {
+  std::lock_guard<std::mutex> lock(m->token);
+  m->ensure_fail_states_locked();
+  std::vector<int32_t> order;
+  m->depth_order(order);
+  for (int32_t s : order) {
+    int64_t n = m->nb_outputs[s];
+    if (n == 0) continue;
+    int32_t base = emit_start[s];
+    int32_t f = (m->fail[s] == kNoState) ? kRoot : m->fail[s];
+    if (m->is_end[s]) {
+      emit_state[base] = s;
+      if (n > 1)
+        std::memcpy(emit_state + base + 1, emit_state + emit_start[f],
+                    sizeof(int32_t) * (n - 1));
+    } else {
+      std::memcpy(emit_state + base, emit_state + emit_start[f],
+                  sizeof(int32_t) * n);
+    }
   }
 }
 
@@ -662,7 +692,7 @@ void acx_compose_pack(const int32_t* delta, const int32_t* nb, int64_t S,
   int64_t Vk = 1;
   for (int32_t i = 0; i < k; ++i) Vk *= V;
   unsigned hw = std::thread::hardware_concurrency();
-  size_t n_threads = hw > 2 ? hw / 2 : 1;
+  size_t n_threads = hw >= 4 ? hw / 2 : (hw ? hw : 1);
   if (S < 4096 || n_threads <= 1) {
     int32_t* o = out;
     for (int64_t s = 0; s < S; ++s)

@@ -35,19 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.builder import DenseTables
-
-
-def round_cap(n: int) -> int:
-    """State capacity with headroom: ~n/8 rounded up to a unit of
-    max(1024, n/8), always leaving at least one unit of free growth.
-
-    Device tables are allocated at capacity so that Meyer-mode growth
-    (models/scanner.py:DenseScanner.refresh) updates rows in place —
-    stable array shapes, no XLA recompile — until the dictionary outgrows
-    the ~12.5% headroom."""
-    unit = max(1024, n >> 3)
-    return (n // unit + 1) * unit
+from ..core.builder import DenseTables, round_cap  # noqa: F401 (re-export)
 
 
 @dataclass
@@ -58,6 +46,12 @@ class SteppedTables:
     packed: Optional[np.ndarray]        # int32 [S * V^k] or None
     delta_k: Optional[np.ndarray]       # int32 [S * V^k] when unpacked
     cnt_k: Optional[np.ndarray]         # int32 [S * V^k] when unpacked
+    # capacity-padded calloc'd backing buffer of ``packed`` (first S*Vk
+    # entries are the table; tail rows stay virtual zero pages) — set when
+    # build_stepped was called with cap_rows, so DeviceSnapshot can use it
+    # as its host mirror outright instead of re-allocating + copying the
+    # (potentially multi-hundred-MB) packed table
+    cap_packed: Optional[np.ndarray] = None
 
     @property
     def Vk(self) -> int:
@@ -183,8 +177,11 @@ def stepped_delta_cells(old: DenseTables, new: DenseTables, k: int):
     return cells, m.astype(np.int32), cnt
 
 
-def build_stepped(tables: DenseTables, k: int) -> SteppedTables:
-    """Compose delta/nb_outputs over k-grams and pack."""
+def build_stepped(tables: DenseTables, k: int,
+                  cap_rows: Optional[int] = None) -> SteppedTables:
+    """Compose delta/nb_outputs over k-grams and pack. ``cap_rows``: also
+    allocate the packed table inside a [cap_rows * V^k] calloc'd capacity
+    buffer (returned as ``cap_packed``) for zero-copy snapshot adoption."""
     delta = tables.delta                     # [S, V]
     nb = tables.nb_outputs
     S, V = delta.shape
@@ -205,18 +202,24 @@ def build_stepped(tables: DenseTables, k: int) -> SteppedTables:
     count_bits = max(count_bits,
                      min(count_bits + 3, 31 - max(state_bits, grow_bits)))
     if state_bits + count_bits <= 31:
+        cap_buf = (np.zeros(cap_rows * V ** k, np.int32)
+                   if cap_rows is not None and cap_rows >= S else None)
         try:
             # Threaded native compose+pack (native/acx.cpp) — one pass,
             # no intermediates. Falls back to numpy when the native core
             # is unavailable (the numpy path is also the test oracle).
             from ..core.native import compose_pack
-            packed = compose_pack(delta, nb, k, count_bits)
+            packed = compose_pack(delta, nb, k, count_bits, out=cap_buf)
         except Exception:
             d, cnt = compose_rows(delta, nb, np.arange(S, dtype=np.int64), k)
             packed = (((d.astype(np.int64) << count_bits) | cnt)
                       .astype(np.int32).reshape(-1))
+            if cap_buf is not None:
+                cap_buf[:packed.size] = packed
+                packed = cap_buf[:packed.size]
         return SteppedTables(k=k, V=V, count_bits=count_bits,
-                             packed=packed, delta_k=None, cnt_k=None)
+                             packed=packed, delta_k=None, cnt_k=None,
+                             cap_packed=cap_buf)
     d, cnt = compose_rows(delta, nb, np.arange(S, dtype=np.int64), k)
     return SteppedTables(k=k, V=V, count_bits=0, packed=None,
                          delta_k=d.reshape(-1).astype(np.int32),

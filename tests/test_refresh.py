@@ -155,13 +155,14 @@ def test_refresh_unpacked_mode(monkeypatch):
     """Exercise the two-table refresh branch by forcing unpacked tables."""
     orig = ms.build_stepped
 
-    def unpacked(tables, k):
+    def unpacked(tables, k, cap_rows=None):
         st = orig(tables, k)
         if st.packed is not None:
             cb = st.count_bits
             st.delta_k = (st.packed >> cb).astype(np.int32)
             st.cnt_k = (st.packed & ((1 << cb) - 1)).astype(np.int32)
             st.packed = None
+            st.cap_packed = None
             st.count_bits = 0
         return st
 
