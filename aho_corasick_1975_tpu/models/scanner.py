@@ -55,9 +55,13 @@ class DenseScanner:
                  prefilter: str = "off"):
         """``engine``: "gather" (packed-table gather scan, the default
         workhorse), "mxu" (one-hot digit-matmul — small automata only,
-        raises if the dictionary does not fit), or "auto" (use the MXU
-        engine when the automaton is small enough that it measures faster
-        on TPU; see ops/scan_mxu.py).
+        raises if the dictionary does not fit), "hybrid" (dual-issue
+        count: most stream columns via the packed k-gram gather, the rest
+        via MXU digit matmuls riding in the gather's issue shadow —
+        ops/scan_hybrid.py; raises if the automaton exceeds its
+        envelope), or "auto" (pick the fastest measured engine for the
+        automaton size on TPU: mxu < ~450 states < hybrid < ~7k states
+        < gather).
 
         ``prefilter``: "off" (default), "auto", or "on" — the hybrid
         filter-then-verify count path for low-match-density corpora
@@ -67,7 +71,7 @@ class DenseScanner:
         at most half the blocks are live; "on" always takes the sparse
         kernel (useful for benchmarking; it only adds overhead on dense
         corpora)."""
-        if engine not in ("auto", "gather", "mxu"):
+        if engine not in ("auto", "gather", "mxu", "hybrid"):
             raise ValueError(f"unknown engine {engine!r}")
         if prefilter not in ("off", "auto", "on"):
             raise ValueError(f"unknown prefilter {prefilter!r}")
@@ -176,6 +180,25 @@ class DenseScanner:
                     "automaton too large for the MXU engine (padded states "
                     "or digit planes over the ops/scan_mxu.py limits); use "
                     "engine='gather'")
+        # Hybrid gather+MXU count (ops/scan_hybrid.py): mid-size automata
+        # on TPU, needs the packed stepped table for the gather half.
+        self._hybrid = None
+        st = self._stepped
+        if (self._mxu is None and st is not None and st.packed is not None
+                and self._engine in ("auto", "hybrid")):
+            from ..ops import scan_hybrid, scan_mxu
+            built = scan_mxu.build_planes(
+                self.tables.delta, self.tables.nb_outputs,
+                max_states=scan_hybrid.MAX_HYBRID_STATES)
+            if built is not None and (self._engine == "hybrid"
+                                      or self._reuse_buf):
+                planes, cbits, n_planes, S_pad = built
+                self._hybrid = (jnp.asarray(planes), cbits, n_planes, S_pad)
+            if self._hybrid is None and self._engine == "hybrid":
+                raise ValueError(
+                    "automaton too large for the hybrid engine (padded "
+                    "states over ops/scan_hybrid.MAX_HYBRID_STATES, or no "
+                    "packed stepped table); use engine='gather'")
 
     @property
     def version(self) -> int:
@@ -323,6 +346,16 @@ class DenseScanner:
             fn = scan_mxu.make_mxu_count_stream(
                 self.V, S_pad, cbits, n_planes, self.halo, B, L)
             per_stream = fn(planes, ext)
+        elif self._hybrid is not None:
+            from ..ops import scan_hybrid
+            planes, cbm, n_planes, S_pad = self._hybrid
+            ext, B, L, _ = self._stream_ext(ids, head, self._halo_sym,
+                                            128 * st.k)
+            B2 = scan_hybrid.mxu_cols(B, S_pad)
+            fn = scan_hybrid.make_hybrid_count_stream(
+                st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
+                S_pad, n_planes, cbm, B - B2, B2, L)
+            per_stream = fn(self._st_dev[0], planes, ext)
         elif st is not None:
             ext, B, L, _ = self._stream_ext(ids, head, self._halo_sym,
                                             128 * st.k)

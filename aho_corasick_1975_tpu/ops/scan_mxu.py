@@ -42,17 +42,19 @@ DIGIT_BITS = 7
 DIGIT_MASK = (1 << DIGIT_BITS) - 1
 
 
-def build_planes(delta: np.ndarray, nb_outputs: np.ndarray
+def build_planes(delta: np.ndarray, nb_outputs: np.ndarray,
+                 max_states: Optional[int] = None
                  ) -> Optional[Tuple[np.ndarray, int, int, int]]:
     """Pack the dense tables into int8 digit planes for the MXU kernel.
 
     Returns (planes int8 [S_pad, n_planes*V], count_bits, n_planes, S_pad)
     or None when the automaton is too big for this engine (padded states
-    over MAX_MXU_STATES, or the packed word would need > 4 digits).
-    """
+    over ``max_states`` — default MAX_MXU_STATES; the hybrid engine
+    passes its own larger envelope — or the packed word would need > 4
+    digits)."""
     S, V = delta.shape
     S_pad = max(128, -(-int(S * 9 / 8 + 1) // 128) * 128)  # growth headroom
-    if S_pad > MAX_MXU_STATES:
+    if S_pad > (max_states if max_states is not None else MAX_MXU_STATES):
         return None
     max_cnt = int(nb_outputs.max()) if S else 0
     count_bits = max(1, max_cnt.bit_length())

@@ -77,7 +77,20 @@ def main() -> None:
     from aho_corasick_1975_tpu.ops.scan_xla import make_blocked_count_stream
 
     st = scanner._stepped
-    if st is not None and st.packed is not None:
+    if scanner._hybrid is not None and st is not None \
+            and st.packed is not None:
+        # the scanner auto-selected the hybrid gather+MXU engine
+        from aho_corasick_1975_tpu.ops import scan_hybrid
+        planes, cbm, n_planes, S_pad = scanner._hybrid
+        k = st.k
+        ext, B, L, _ = scanner._stream_ext(ids, None, scanner._halo_sym,
+                                           128 * k)
+        B2 = scan_hybrid.mxu_cols(B, S_pad)
+        tabs = (scanner._st_dev[0], planes)
+        count_fn = scan_hybrid.make_hybrid_count_stream(
+            st.V, st.k, st.Vk, st.count_bits, scanner._halo_steps,
+            S_pad, n_planes, cbm, B - B2, B2, L)
+    elif st is not None and st.packed is not None:
         k = st.k
         ext, B, L, _ = scanner._stream_ext(ids, None, scanner._halo_sym,
                                            128 * k)
@@ -139,6 +152,8 @@ def main() -> None:
             "device": str(jax.devices()[0]),
             "seconds_per_pass": round(dt, 4),
             "step_k": k,
+            "engine": ("hybrid" if scanner._hybrid is not None else
+                       "mxu" if scanner._mxu is not None else "gather"),
             "end_to_end_bytes_per_sec": round(nbytes / e2e_dt, 1),
             "encode_bytes_per_sec": round(nbytes / t_enc, 1),
             # On this rig the host->device path runs through a remote TPU
