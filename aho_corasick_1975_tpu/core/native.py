@@ -73,7 +73,7 @@ def load_library():
         lib.acx_export_arrays.argtypes = [ct.c_void_p, i64] + [p(i32)] * 3 + \
             [p(u8)] + [p(i32)] * 3
         lib.acx_emit_delta.argtypes = [ct.c_void_p, i32, p(i32)]
-        lib.acx_emit_csr.argtypes = [ct.c_void_p, p(i32), p(i32)]
+        lib.acx_emit_csr.argtypes = [ct.c_void_p, i64, p(i32), p(i32)]
         lib.acx_export_edges.argtypes = [ct.c_void_p, i64, p(i32), p(i32),
                                          p(i32)]
         lib.acx_set_version.argtypes = [ct.c_void_p, i64]
@@ -338,7 +338,10 @@ class NativeBuilder:
         emit_start = np.zeros(S + 1, np.int32)
         emit_start[1:] = np.cumsum(nb_outputs)
         emit_state = np.empty(int(emit_start[-1]), np.int32)
-        self._lib.acx_emit_csr(self._h, _ptr(emit_start, ct.c_int32),
+        # S bounds every CSR write to the snapshot geometry sized above
+        # (ADVICE r2: emit_start was sized from the exported snapshot, so a
+        # builder that advanced in between must not overrun emit_state).
+        self._lib.acx_emit_csr(self._h, S, _ptr(emit_start, ct.c_int32),
                                _ptr(emit_state, ct.c_int32))
 
         # No .copy(): _refresh() allocates a fresh array set per version,
@@ -370,8 +373,13 @@ def compose_pack(delta: np.ndarray, nb: np.ndarray, k: int,
     if out is None:
         out = np.empty(n, np.int32)
     else:
-        assert out.size >= n and out.dtype == np.int32 \
-            and out.flags.c_contiguous
+        # Contract check must survive python -O (assert is stripped there,
+        # and a wrong-size buffer would be overrun/sliced silently).
+        if out.size < n or out.dtype != np.int32 \
+                or not out.flags.c_contiguous:
+            raise ValueError(
+                f"compose_pack out buffer must be C-contiguous int32 with "
+                f">= {n} entries (got size={out.size}, dtype={out.dtype})")
         out = out.reshape(-1)
     p32 = ct.POINTER(ct.c_int32)
     lib.acx_compose_pack(delta.ctypes.data_as(p32), nb.ctypes.data_as(p32),

@@ -13,6 +13,7 @@ exact (proof in ops/blocking.py).
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Any, List, Optional, Sequence, Tuple
 
@@ -100,6 +101,15 @@ class DenseScanner:
         self._ext_bufs: dict = {}
         import jax
         self._reuse_buf = jax.default_backend() != "cpu"
+        # Per-scanner dispatch lock: every public device call stages into
+        # reused host buffers, dispatches, and materializes the result; two
+        # threads interleaving stage+dispatch on one scanner would corrupt
+        # the shared staging buffers (ADVICE r2). The lock spans
+        # stage→dispatch→materialize, making concurrent calls on ONE
+        # scanner safe (they serialize); use one scanner per thread for
+        # parallel scanning. Reentrant: count() takes it and may re-enter
+        # through _sparse_count.
+        self._dispatch = threading.RLock()
         self._bind_kernels()
 
     # Snapshot delegation (the snapshot owns tables + device arrays; the
@@ -233,20 +243,22 @@ class DenseScanner:
         (snapshot analogue of the reference's "new keywords affect
         subsequent symbols only").
 
-        Concurrency: refresh() donates the device buffers it replaces, so
-        it must be serialized against scans ON THE SAME SCANNER by the
-        caller (one lock around scan/refresh — see examples/serving_demo.py).
-        The reference takes the machine mutex for insertion and scans
-        lock-free (c:295,433); here insertion is likewise safe anytime,
-        and only the snapshot swap needs exclusion.
+        Concurrency: all device calls on one scanner — scans AND this
+        refresh — serialize on the scanner's internal dispatch lock (the
+        staging buffers are shared and the refresh donates device buffers),
+        so concurrent use of one scanner is safe but not parallel; use one
+        scanner per thread for parallel scanning. The reference takes the
+        machine mutex for insertion and scans lock-free (c:295,433); here
+        insertion is likewise safe anytime.
         """
         t0 = time.perf_counter()
         new = self.machine.compile()
         if new.version == self.tables.version:
             return True
-        status = self._snap.refresh(new)
-        self._refresh_halo()
-        self._bind_kernels()
+        with self._dispatch:
+            status = self._snap.refresh(new)
+            self._refresh_halo()
+            self._bind_kernels()
         self._record("refresh", self._snap.last_refresh.get("rows", 0),
                      time.perf_counter() - t0)
         self.stats["refresh_rows"] = self._snap.last_refresh.get("rows", 0)
@@ -319,9 +331,10 @@ class DenseScanner:
         if len(ids) == 0:
             return np.zeros(0, dtype=np.int32)
         t0 = time.perf_counter()
-        ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
-        fn = make_blocked_scan_stream(self.V, self.halo, B, L)
-        out = np.asarray(fn(self._dflat, ext))[:T]
+        with self._dispatch:
+            ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
+            fn = make_blocked_scan_stream(self.V, self.halo, B, L)
+            out = np.asarray(fn(self._dflat, ext))[:T]
         self._record("scan_states", T, time.perf_counter() - t0)
         return out
 
@@ -333,48 +346,69 @@ class DenseScanner:
         if len(ids) == 0:
             return 0
         t0 = time.perf_counter()
-        if self._prefilter != "off":
-            n = self._sparse_count(ids, head)
-            if n is not None:
-                self._record("count", len(ids), time.perf_counter() - t0)
-                return n
-        st = self._stepped
-        if self._mxu is not None:
-            from ..ops import scan_mxu
-            planes, cbits, n_planes, S_pad = self._mxu
-            ext, B, L, _ = self._stream_ext(ids, head, self.halo, 128)
-            fn = scan_mxu.make_mxu_count_stream(
-                self.V, S_pad, cbits, n_planes, self.halo, B, L)
-            per_stream = fn(planes, ext)
-        elif self._hybrid is not None:
-            from ..ops import scan_hybrid
-            planes, cbm, n_planes, S_pad = self._hybrid
-            ext, B, L, _ = self._stream_ext(ids, head, self._halo_sym,
-                                            128 * st.k)
-            B2 = scan_hybrid.mxu_cols(B, S_pad)
-            fn = scan_hybrid.make_hybrid_count_stream(
-                st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
-                S_pad, n_planes, cbm, B - B2, B2, L)
-            per_stream = fn(self._st_dev[0], planes, ext)
-        elif st is not None:
-            ext, B, L, _ = self._stream_ext(ids, head, self._halo_sym,
-                                            128 * st.k)
-            if st.packed is not None:
-                fn = ms.make_stepped_count_stream(
-                    st.V, st.k, st.Vk, st.count_bits, self._halo_steps, B, L)
+        with self._dispatch:
+            if self._prefilter != "off":
+                n = self._sparse_count(ids, head)
+                if n is not None:
+                    self._record("count", len(ids),
+                                 time.perf_counter() - t0)
+                    return n
+            st = self._stepped
+            if self._mxu is not None:
+                from ..ops import scan_mxu
+                planes, cbits, n_planes, S_pad = self._mxu
+                ext, B, L, _ = self._stream_ext(ids, head, self.halo, 128)
+                self._guard_acc(L)
+                fn = scan_mxu.make_mxu_count_stream(
+                    self.V, S_pad, cbits, n_planes, self.halo, B, L)
+                per_stream = fn(planes, ext)
+            elif self._hybrid is not None:
+                from ..ops import scan_hybrid
+                planes, cbm, n_planes, S_pad = self._hybrid
+                ext, B, L, _ = self._stream_ext(ids, head, self._halo_sym,
+                                                128 * st.k)
+                self._guard_acc(L)
+                B2 = scan_hybrid.mxu_cols(B, S_pad)
+                fn = scan_hybrid.make_hybrid_count_stream(
+                    st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
+                    S_pad, n_planes, cbm, B - B2, B2, L)
+                per_stream = fn(self._st_dev[0], planes, ext)
+            elif st is not None:
+                ext, B, L, _ = self._stream_ext(ids, head, self._halo_sym,
+                                                128 * st.k)
+                self._guard_acc(L)
+                if st.packed is not None:
+                    fn = ms.make_stepped_count_stream(
+                        st.V, st.k, st.Vk, st.count_bits,
+                        self._halo_steps, B, L)
+                else:
+                    fn = ms.make_stepped_count_unpacked_stream(
+                        st.V, st.k, st.Vk, self._halo_steps, B, L)
+                per_stream = fn(*self._st_dev, ext)
             else:
-                fn = ms.make_stepped_count_unpacked_stream(
-                    st.V, st.k, st.Vk, self._halo_steps, B, L)
-            per_stream = fn(*self._st_dev, ext)
-        else:
-            ext, B, L, _ = self._stream_ext(ids, head, self.halo, 128)
-            fn = make_blocked_count_stream(self.V, self.halo, B, L)
-            per_stream = fn(self._dflat, self._nb_out, ext)
-        # int64 grand total on host: per-stream totals are int32-safe but
-        # their sum can exceed 2^31 on pod-scale corpora.
-        n = int(np.asarray(per_stream).sum(dtype=np.int64))
+                ext, B, L, _ = self._stream_ext(ids, head, self.halo, 128)
+                self._guard_acc(L)
+                fn = make_blocked_count_stream(self.V, self.halo, B, L)
+                per_stream = fn(self._dflat, self._nb_out, ext)
+            # int64 grand total on host: per-stream totals are int32-safe
+            # but their sum can exceed 2^31 on pod-scale corpora.
+            n = int(np.asarray(per_stream).sum(dtype=np.int64))
         self._record("count", len(ids), time.perf_counter() - t0)
         return n
+
+    def _guard_acc(self, stream_symbols: int) -> None:
+        """Pre-dispatch overflow guard: per-stream totals accumulate in
+        int32 on device (the first level of the two-level reduction). A
+        stream of L symbols can contribute at most L * max(nb_outputs)
+        matches — the same bound for every engine (the k-gram count of a
+        gram is the sum of its k per-symbol counts). Raise rather than
+        wrap (ADVICE r2)."""
+        if stream_symbols * max(self._snap.max_nb, 1) >= 2 ** 31:
+            raise ValueError(
+                f"a stream of {stream_symbols} symbols with up to "
+                f"{self._snap.max_nb} matches/position could overflow the "
+                "int32 per-stream accumulator; chunk the input with "
+                "scanner.session() or raise n_streams")
 
     def _sparse_count(self, ids: np.ndarray, head) -> Optional[int]:
         """Filter-then-verify count (ops/sparse.py): host bandwidth pass
@@ -446,9 +480,11 @@ class DenseScanner:
         transitions every state to the root and never emits (the reference's
         modification [3], README.md:347), contributing exactly zero.
 
-        L is bucketed to power-of-two multiples of 128*k and B to multiples
-        of 8, so steadily-sized batches reuse one compiled kernel. Returns
-        an int64 array of len(docs) counts.
+        Documents are grouped into length buckets (pow2 multiples of
+        128*k) and launched per bucket, B rounded to multiples of 8 — so
+        steadily-sized batches reuse one compiled kernel per bucket and a
+        single long outlier costs only its own bucket's launch. Returns an
+        int64 array of len(docs) counts.
         """
         encoded = [self.encode(d) for d in docs]
         n = len(encoded)
@@ -458,10 +494,36 @@ class DenseScanner:
         k = (self._stepped.k
              if self._stepped is not None and self._mxu is None else 1)
         unit = 128 * k
-        L = unit
-        longest = max(len(e) for e in encoded)
-        while L < longest:
-            L *= 2
+        lengths = np.asarray([len(e) for e in encoded], np.int64)
+        out = np.zeros(n, dtype=np.int64)
+        # Length-bucketed launches: documents are grouped by the pow2
+        # multiple of ``unit`` covering their length, so one long outlier
+        # no longer pads the WHOLE batch to its length (round-2 weakness:
+        # a single 1M-symbol doc in a 1000-doc batch inflated the launch
+        # ~1000x). Launch count is bounded by log2(longest/unit).
+        with self._dispatch:
+            for L, idx in self._length_buckets(lengths, unit):
+                self._guard_acc(L)
+                counts = self._count_many_launch(
+                    [encoded[i] for i in idx], L)
+                out[idx] = counts
+        self._record("count_many", int(lengths.sum()),
+                     time.perf_counter() - t0)
+        return out
+
+    @staticmethod
+    def _length_buckets(lengths: np.ndarray, unit: int):
+        """Group document indices by the pow2-of-unit launch length
+        covering them. Yields (L, indices) largest-first."""
+        L_each = np.maximum(lengths, 1)  # empty docs ride the smallest bucket
+        buckets = unit * (1 << np.maximum(
+            0, np.ceil(np.log2(np.maximum(L_each / unit, 1))).astype(np.int64)))
+        for L in np.unique(buckets)[::-1]:
+            yield int(L), np.flatnonzero(buckets == L)
+
+    def _count_many_launch(self, encoded, L: int) -> np.ndarray:
+        """One count_many device launch: every doc fits in L symbols."""
+        n = len(encoded)
         B = -(-n // 8) * 8
         tm = np.zeros((L, B), dtype=np.int32)
         for j, e in enumerate(encoded):
@@ -483,10 +545,7 @@ class DenseScanner:
         else:
             fn = make_blocked_count(self.V, 0)
             per_stream = fn(self._dflat, self._nb_out, jnp.asarray(tm))
-        out = np.asarray(per_stream)[:n].astype(np.int64)
-        self._record("count_many", sum(len(e) for e in encoded),
-                     time.perf_counter() - t0)
-        return out
+        return np.asarray(per_stream)[:n].astype(np.int64)
 
     def _layout_stepped(self, ids: np.ndarray, head=None) -> np.ndarray:
         """Block layout for the k-stepped path: halo and block length both
@@ -523,13 +582,15 @@ class DenseScanner:
         if len(ids) == 0:
             return []
         t0 = time.perf_counter()
-        ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
-        fn = make_blocked_hits_stream(self.V, self.halo, int(max_hits), B, L)
-        positions, sts, n_hits, n_hit_pos = fn(self._dflat, self._nb_out,
-                                               ext)
-        n_hit_pos = int(n_hit_pos)
-        positions = np.asarray(positions)
-        sts = np.asarray(sts)
+        with self._dispatch:
+            ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
+            fn = make_blocked_hits_stream(self.V, self.halo, int(max_hits),
+                                          B, L)
+            positions, sts, n_hits, n_hit_pos = fn(self._dflat,
+                                                   self._nb_out, ext)
+            n_hit_pos = int(n_hit_pos)
+            positions = np.asarray(positions)
+            sts = np.asarray(sts)
         keep = (positions >= 0) & (positions < T)
         positions, sts = positions[keep], sts[keep]
         if n_hit_pos > max_hits:

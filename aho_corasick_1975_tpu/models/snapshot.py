@@ -77,6 +77,9 @@ class DeviceSnapshot:
         S = tables.n_states
         self.V = tables.vocab_size
         self.cap = ms.round_cap(S)
+        # Largest per-position match count — scanners bound their per-stream
+        # int32 accumulators with it (overflow guard before dispatch).
+        self.max_nb = int(tables.nb_outputs.max()) if S else 0
         # Adopt the emitter's capacity buffer when offered (native backend;
         # same round_cap geometry): skips a second whole-table first-touch
         # + copy — ~4 s at 2.5M states on a small host. While adopted,
@@ -230,6 +233,7 @@ class DeviceSnapshot:
                                self._scatter(self.st_dev[1], cells, c32, 1))
 
         self.tables = new
+        self.max_nb = int(new.nb_outputs.max()) if S_new else 0
         self.last_refresh = {"rows": int(len(rows1)), "cells": int(n_cells),
                              "seconds": time.perf_counter() - t0}
         return "inplace"

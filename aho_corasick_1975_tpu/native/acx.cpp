@@ -581,29 +581,40 @@ void acx_emit_delta(Machine* m, int32_t V, int32_t* delta) {
 // acm_get_match's runtime fail-chain walk, reference c:457-466): for every
 // state, the end-of-keyword states along its fail chain, self (longest)
 // first. emit_start is the caller-computed exclusive prefix sum of
-// nb_outputs (S+1 entries); emit_state (emit_start[S] entries) is filled
+// nb_outputs (n_limit+1 entries, sized from the SNAPSHOT the caller
+// exported earlier); emit_state (emit_start[n_limit] entries) is filled
 // here. Depth order guarantees emit_state[fail[s]]'s list is final before
 // s copies it — same argument as acx_emit_delta's row copies.
-void acx_emit_csr(Machine* m, const int32_t* emit_start,
+//
+// Every write is clamped to the caller's CSR geometry (n_limit states,
+// per-state slot widths from emit_start): if the builder advanced between
+// the snapshot export and this call — only possible when bypassing the
+// Machine-level lock — the output may be stale but never out of bounds.
+void acx_emit_csr(Machine* m, int64_t n_limit, const int32_t* emit_start,
                   int32_t* emit_state) {
   std::lock_guard<std::mutex> lock(m->token);
   m->ensure_fail_states_locked();
   std::vector<int32_t> order;
   m->depth_order(order);
   for (int32_t s : order) {
-    int64_t n = m->nb_outputs[s];
-    if (n == 0) continue;
+    if (s >= n_limit) continue;
+    int64_t slot = emit_start[s + 1] - emit_start[s];
+    if (slot <= 0) continue;
+    int64_t n = std::min<int64_t>(m->nb_outputs[s], slot);
     int32_t base = emit_start[s];
     int32_t f = (m->fail[s] == kNoState) ? kRoot : m->fail[s];
-    if (m->is_end[s]) {
-      emit_state[base] = s;
-      if (n > 1)
-        std::memcpy(emit_state + base + 1, emit_state + emit_start[f],
-                    sizeof(int32_t) * (n - 1));
-    } else {
-      std::memcpy(emit_state + base, emit_state + emit_start[f],
-                  sizeof(int32_t) * n);
-    }
+    int64_t fslot = (f < n_limit) ? emit_start[f + 1] - emit_start[f] : 0;
+    int64_t own = m->is_end[s] ? 1 : 0;
+    if (own) emit_state[base] = s;
+    int64_t n_copy = std::min<int64_t>(n - own, fslot);
+    if (n_copy > 0)
+      std::memcpy(emit_state + base + own, emit_state + emit_start[f],
+                  sizeof(int32_t) * n_copy);
+    // Stale-geometry remainder (unreachable under the Machine lock):
+    // fill with s so every slot the snapshot's nb_outputs covers holds a
+    // valid state id.
+    for (int64_t i = own + std::max<int64_t>(n_copy, 0); i < slot; ++i)
+      emit_state[base + i] = s;
   }
 }
 

@@ -503,11 +503,26 @@ class ShardedScanner:
         out[halo - len(tail):] = tail
         return out
 
+    def _guard_acc(self, T_padded: int) -> None:
+        """Pre-dispatch int32 per-stream accumulator guard (same bound as
+        DenseScanner._guard_acc: L symbols x max matches/position must stay
+        below 2^31 — the first level of the two-level reduction)."""
+        Tl = T_padded // self.n_dev
+        B = min(self._n_streams_per_device, max(1, Tl // 64))
+        L = -(-Tl // B)
+        if L * max(self._snap.max_nb, 1) >= 2 ** 31:
+            raise ValueError(
+                f"a per-device stream of {L} symbols with up to "
+                f"{self._snap.max_nb} matches/position could overflow the "
+                "int32 per-stream accumulator; chunk the input with "
+                "scanner.session() or raise n_streams_per_device")
+
     def count(self, signs, head=None) -> int:
         ids = self.encode(signs)
         if len(ids) == 0:
             return 0
         placed, _ = self._pad_and_place(ids)
+        self._guard_acc(placed.shape[0])
         if self._mxu is not None:
             planes, cbits, n_planes, S_pad = self._mxu
             fn = make_sharded_mxu_count(
@@ -548,10 +563,21 @@ class ShardedScanner:
         k = (self._stepped.k
              if self._stepped is not None and self._mxu is None else 1)
         unit = 128 * k
-        L = unit
-        longest = max((len(e) for e in encoded), default=1)
-        while L < longest:
-            L *= 2
+        # Length-bucketed launches (mirrors DenseScanner.count_many): one
+        # long outlier costs only its own bucket, not the whole batch.
+        from ..models.scanner import DenseScanner
+        lengths = np.asarray([len(e) for e in encoded], np.int64)
+        out = np.zeros(n, np.int64)
+        for L, idx in DenseScanner._length_buckets(lengths, unit):
+            out[idx] = self._count_many_launch([encoded[i] for i in idx], L)
+        return out
+
+    def _count_many_launch(self, encoded, L: int) -> np.ndarray:
+        n = len(encoded)
+        if L * max(self._snap.max_nb, 1) >= 2 ** 31:
+            raise ValueError(
+                f"a document stream of {L} symbols could overflow the "
+                "int32 per-stream accumulator; split the document")
         # B bucketed to a multiple of 8 per device so steady batch sizes
         # reuse one compiled kernel.
         per_dev = -(-(-(-n // self.n_dev)) // 8) * 8
