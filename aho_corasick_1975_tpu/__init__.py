@@ -31,6 +31,7 @@ from .api import (ACM_CMP_DEFAULT, ACM_INCREMENTAL_STRING_MATCHING,
 from .core.builder import Builder, DenseTables
 from .models.bytes_machine import ByteMachine, UnicodeMachine
 from .models.machine import Cursor, Machine, Match
+from .models.results import MatchSet
 from .models.scanner import DenseScanner, StreamSession
 from .utils.checkpoint import (load_machine, load_tables, save_machine,
                                save_tables)
@@ -39,8 +40,8 @@ from .utils.config import MachineConfig, MeshConfig, ScanConfig
 __version__ = "0.1.0"
 
 __all__ = [
-    "Machine", "Cursor", "Match", "DenseScanner", "Builder", "DenseTables",
-    "ByteMachine", "UnicodeMachine", "StreamSession",
+    "Machine", "Cursor", "Match", "MatchSet", "DenseScanner", "Builder",
+    "DenseTables", "ByteMachine", "UnicodeMachine", "StreamSession",
     "save_machine", "load_machine", "save_tables", "load_tables",
     "MachineConfig", "ScanConfig", "MeshConfig",
     "acm_create", "acm_release", "acm_initiate",

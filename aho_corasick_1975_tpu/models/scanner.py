@@ -22,7 +22,7 @@ import numpy as np
 
 from ..core.builder import DenseTables
 from ..ops import blocking
-from ..ops.decode import MatchEvent, decode_matches
+from ..ops.decode import MatchEvent, decode_matches_arrays  # noqa: F401
 from ..ops.scan_xla import (make_blocked_count, make_blocked_count_stream,
                             make_blocked_scan, make_blocked_scan_stream,
                             make_sequential_scan)
@@ -560,21 +560,24 @@ class DenseScanner:
         return blocks_tm
 
     def find_matches(self, signs, offset: int = 0, head=None,
-                     max_hits: Optional[int] = None
-                     ) -> List[Tuple[MatchEvent, Any]]:
-        """All (event, Match) occurrences, ordered by end position; within a
-        position, longest first (reference acm_get_match index order).
+                     max_hits: Optional[int] = None):
+        """All (event, Match) occurrences as a columnar ``MatchSet``
+        (models/results.py) — list-compatible, with ends/starts/end_states/
+        ranks as numpy arrays and lazy per-keyword Match materialization.
+        Ordered by end position; within a position, longest first
+        (reference acm_get_match index order).
 
         ``max_hits``: enable the device-side bounded hit extraction
         (ops/hits.py) — only hit positions travel to the host instead of
         every per-position state; raises if more than ``max_hits`` positions
         match (retry larger or chunk with a StreamSession)."""
+        from .results import MatchSet
         if max_hits is not None:
             return self._find_matches_device(signs, offset, head, max_hits)
         states = self.scan_states(signs, head=head)
-        events = decode_matches(states, self.tables, offset=offset)
-        return [(ev, self.machine.match_for_state(ev.end_state))
-                for ev in events]
+        ends, end_states, idx = decode_matches_arrays(states, self.tables,
+                                                      offset)
+        return MatchSet(self.machine, self.tables, ends, end_states, idx)
 
     def _find_matches_device(self, signs, offset, head, max_hits):
         from ..ops.hits import make_blocked_hits_stream
@@ -597,22 +600,14 @@ class DenseScanner:
             raise ValueError(
                 f"{n_hit_pos} matching positions exceed max_hits={max_hits}; "
                 "raise max_hits or chunk the stream with a session")
-        # decode sparse hits through the emit CSR (host, O(hits))
+        # decode sparse hits through the emit CSR (columnar, O(hits) numpy)
+        from ..ops.decode import expand_hits_arrays
+        from .results import MatchSet
         order = np.argsort(positions, kind="stable")
-        events: List[Tuple[MatchEvent, Any]] = []
-        tb = self.tables
-        for p, s in zip(positions[order].tolist(), sts[order].tolist()):
-            base = int(tb.emit_start[s])
-            n = int(tb.nb_outputs[s])
-            for i in range(n):
-                end_state = int(tb.emit_state[base + i])
-                length = int(tb.depth[end_state])
-                ev = MatchEvent(end=p + offset,
-                                start=p + offset - length + 1,
-                                end_state=end_state, index=i)
-                events.append((ev, self.machine.match_for_state(end_state)))
+        ends, end_states, idx = expand_hits_arrays(
+            positions[order], sts[order], self.tables, offset)
         self._record("find_matches_device", T, time.perf_counter() - t0)
-        return events
+        return MatchSet(self.machine, self.tables, ends, end_states, idx)
 
     def _record(self, op: str, n_symbols: int, seconds: float) -> None:
         self.stats["last_op"] = op

@@ -618,17 +618,22 @@ class ShardedScanner:
 
         ``head``: session carry (previous chunk tail ids) for shard 0's halo.
         ``max_hits_per_shard``: use the all_gather bounded-hit path (only
-        hits travel; raises if any shard overflows its buffer)."""
-        from ..ops.decode import decode_matches
+        hits travel; raises if any shard overflows its buffer).
+
+        Returns a columnar ``MatchSet`` (models/results.py) — list-
+        compatible, arrays for the bulk data."""
+        from ..models.results import MatchSet
+        from ..ops.decode import decode_matches_arrays, expand_hits_arrays
         if max_hits_per_shard is None:
             states = self.scan_states(signs, head=head)
-            events = decode_matches(states, self.tables, offset=offset)
-            return [(ev, self.machine.match_for_state(ev.end_state))
-                    for ev in events]
-        from ..ops.decode import MatchEvent
+            ends, end_states, idx = decode_matches_arrays(
+                states, self.tables, offset)
+            return MatchSet(self.machine, self.tables, ends, end_states, idx)
         ids = self.encode(signs)
         if len(ids) == 0:
-            return []
+            return MatchSet(self.machine, self.tables,
+                            np.zeros(0, np.int64), np.zeros(0, np.int32),
+                            np.zeros(0, np.int32))
         key = int(max_hits_per_shard)
         # lru-cached factory: recompiles only for a new (halo, max_hits,...)
         hits_fn = make_sharded_hits(self.mesh, self.V, self.halo, key,
@@ -648,16 +653,6 @@ class ShardedScanner:
         keep = (positions >= 0) & (positions < T)
         positions, sts = positions[keep], sts[keep]
         order = np.argsort(positions, kind="stable")
-        tb = self.tables
-        events = []
-        for p, s in zip(positions[order].tolist(), sts[order].tolist()):
-            base, n = int(tb.emit_start[s]), int(tb.nb_outputs[s])
-            for i in range(n):
-                end_state = int(tb.emit_state[base + i])
-                length = int(tb.depth[end_state])
-                ev = MatchEvent(end=p + offset,
-                                start=p + offset - length + 1,
-                                end_state=end_state, index=i)
-                events.append((ev,
-                               self.machine.match_for_state(end_state)))
-        return events
+        ends, end_states, idx = expand_hits_arrays(
+            positions[order], sts[order], self.tables, offset)
+        return MatchSet(self.machine, self.tables, ends, end_states, idx)
