@@ -45,8 +45,13 @@ MatchHolder = Match  # type alias for reference-named code
 
 
 def acm_create(key_fn: Optional[Callable[[Any], Any]] = ACM_CMP_DEFAULT,
-               incremental: bool = True, backend: str = "auto") -> Machine:
-    return Machine(key_fn=key_fn, incremental=incremental, backend=backend)
+               incremental: bool = True, backend: str = "auto",
+               cmp_fn: Optional[Callable[[Any, Any], int]] = None) -> Machine:
+    """``cmp_fn`` is the reference's ``cmp``/``cmp_arg`` contract verbatim
+    (h:33-38): a total order over opaque keys, no hashability required
+    (bind cmp_arg with functools.partial)."""
+    return Machine(key_fn=key_fn, incremental=incremental, backend=backend,
+                   cmp_fn=cmp_fn)
 
 
 def acm_release(machine: Machine) -> None:

@@ -57,6 +57,9 @@ def load_library():
         lib.acx_insert_end.argtypes = [ct.c_void_p, i32]
         lib.acx_insert_keywords.argtypes = [
             ct.c_void_p, p(i32), p(i64), i64, p(i32), p(i8)]
+        lib.acx_restore_machine.restype = i64
+        lib.acx_restore_machine.argtypes = [ct.c_void_p, p(i32), p(i32),
+                                            p(u8), p(i32), i64]
         lib.acx_match.restype = i64
         lib.acx_match.argtypes = [ct.c_void_p, i32, i32, p(i32)]
         lib.acx_match_bulk.restype = i64
@@ -171,6 +174,29 @@ class NativeBuilder:
             self._h, _ptr(letters, ct.c_int32), _ptr(offsets, ct.c_int64),
             n, _ptr(ends, ct.c_int32), _ptr(fresh, ct.c_int8))
         return ends, fresh.astype(bool)
+
+    def restore_machine(self, prev_state: np.ndarray,
+                        prev_letter: np.ndarray, is_end: np.ndarray,
+                        kw_rank: np.ndarray) -> None:
+        """Checkpoint restore in ONE native call: recreate the whole trie
+        from creation-order (parent, letter) backlinks — state s regains
+        exactly id s — adopt end flags/ranks, and rebuild fail/IF/output
+        in a single depth-order pass (utils/checkpoint.py replaces its
+        one-FFI-call-per-state loop with this). The machine must be
+        freshly constructed."""
+        prev_state = np.ascontiguousarray(prev_state, np.int32)
+        prev_letter = np.ascontiguousarray(prev_letter, np.int32)
+        is_end = np.ascontiguousarray(is_end, np.uint8)
+        kw_rank = np.ascontiguousarray(kw_rank, np.int32)
+        if self.n_states != 1 or self.nb_sequences:
+            raise ValueError("restore_machine needs a fresh machine")
+        bad = int(self._lib.acx_restore_machine(
+            self._h, _ptr(prev_state, ct.c_int32),
+            _ptr(prev_letter, ct.c_int32), _ptr(is_end, ct.c_uint8),
+            _ptr(kw_rank, ct.c_int32), len(prev_state)))
+        if bad:
+            raise ValueError(f"checkpoint replay diverged at state {bad}")
+        self._snap_version = -1
 
     def match(self, state: int, letter: int) -> Tuple[int, int]:
         nxt = ct.c_int32()

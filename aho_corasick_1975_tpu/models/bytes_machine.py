@@ -29,6 +29,15 @@ class _ByteVocab:
 
     key_fn = staticmethod(lambda b: b)
     size = 257
+    _version = 0          # fixed alphabet: LUTs never invalidate
+    str_encoding = "utf-8"  # str scans are UTF-8 byte streams
+
+    def byte_lut(self) -> np.ndarray:
+        """byte -> id LUT for the device-side encode (id = byte + 1)."""
+        return np.arange(1, 257, dtype=np.int32)
+
+    def codepoint_lut(self, eager_bound: int = 1024):
+        return None  # str routes through UTF-8 bytes, not codepoints
 
     def register(self, sign: int) -> int:
         return int(sign) + 1

@@ -72,17 +72,25 @@ class Machine:
     Parameters
     ----------
     key_fn:
-        Maps a sign to a hashable, orderable key; two signs are the same
-        letter iff keys are equal. Plays the role of the reference's
-        ``cmp``/``cmp_arg`` (h:33-38). Default: identity.
+        Maps a sign to a key; two signs are the same letter iff keys are
+        equal. With the default id map the key must be hashable and
+        orderable. Default: identity.
+    cmp_fn:
+        Total-order comparator ``cmp(a, b) -> <0 / 0 / >0`` over keys —
+        the reference's exact genericity contract (``cmp``/``cmp_arg``,
+        aho_corasick.h:33-38): keys need NOT be hashable, only
+        comparator-orderable; two signs are the same letter iff
+        cmp(key(a), key(b)) == 0. Per-sign cost is O(log vocab) instead
+        of O(1). Omit for hashable keys (the fast default).
     incremental:
         True → Meyer-1985 incremental fail maintenance (reference default);
         False → AC75 lazy BFS reconstruction (reference ``-DNMEYER_85``).
     """
 
     def __init__(self, key_fn: Optional[Callable[[Any], Any]] = None,
-                 incremental: bool = True, backend: str = "auto"):
-        self.vocab = Vocab(key_fn)
+                 incremental: bool = True, backend: str = "auto",
+                 cmp_fn: Optional[Callable[[Any, Any], int]] = None):
+        self.vocab = Vocab(key_fn, cmp_fn=cmp_fn)
         self._b = _make_backend(backend, incremental)
         self.incremental = incremental
         self._values: dict[int, Any] = {}   # end-state -> user value

@@ -29,13 +29,26 @@ from ..ops.scan_xla import (make_blocked_count, make_blocked_count_stream,
 from .snapshot import DeviceSnapshot
 
 
+def _is_device_array(x) -> bool:
+    """jax.Array input = pre-encoded DEVICE-RESIDENT letter ids (serving a
+    corpus already in HBM): no host staging, no re-upload. The caller
+    guarantees values lie in [0, V) — validating would force a transfer."""
+    import jax
+    return isinstance(x, jax.Array) and not isinstance(x, np.ndarray)
+
+
 def encode_signs(machine, signs, V: int) -> np.ndarray:
     """Shared encode for scanners: map signs to dense letter ids.
 
     An int32 ndarray is accepted as PRE-ENCODED letter ids (the zero-copy
     fast path used by benchmarks and internal re-entry) — validated to be
     within [0, V) so a raw integer-sign array passed by mistake fails
-    loudly instead of scanning garbage."""
+    loudly instead of scanning garbage.
+
+    Letters registered AFTER this scanner's snapshot carry ids >= V; they
+    are masked to OOV here, because for the pinned snapshot they are
+    exactly an unknown letter (visible from the NEXT snapshot on — the
+    documented insert-during-scan consistency model, ref README.md:352)."""
     if isinstance(signs, np.ndarray) and signs.dtype == np.int32:
         if signs.size and (int(signs.max()) >= V or int(signs.min()) < 0):
             raise ValueError(
@@ -43,7 +56,10 @@ def encode_signs(machine, signs, V: int) -> np.ndarray:
                 f"values fall outside [0, {V}); for integer-sign alphabets "
                 "encode via machine.vocab.lookup_many(signs) first")
         return signs
-    return np.asarray(machine.vocab.lookup_many(signs), dtype=np.int32)
+    out = np.asarray(machine.vocab.lookup_many(signs), dtype=np.int32)
+    if machine.vocab.size > V and out.size:
+        out = np.where(out < V, out, 0)
+    return out
 
 
 class DenseScanner:
@@ -53,7 +69,10 @@ class DenseScanner:
                  step_k: "int | str" = "auto",
                  step_budget_bytes: int = 128 * 1024 * 1024,
                  engine: str = "auto",
-                 prefilter: str = "off"):
+                 prefilter: str = "off",
+                 device_encode: bool = True,
+                 device_encode_max_cp: int = 1024,
+                 calibrate: bool = False):
         """``engine``: "gather" (packed-table gather scan, the default
         workhorse), "mxu" (one-hot digit-matmul — small automata only,
         raises if the dictionary does not fit), "hybrid" (dual-issue
@@ -71,7 +90,23 @@ class DenseScanner:
         (exact, via the OOV-resets-to-root contract). "auto" engages when
         at most half the blocks are live; "on" always takes the sparse
         kernel (useful for benchmarking; it only adds overhead on dense
-        corpora)."""
+        corpora).
+
+        ``device_encode``: fold the vocab encode into the scan jit for
+        bytes / str inputs — raw symbols upload (1 byte/symbol for byte
+        corpora) and a replicated LUT gather on device replaces the host
+        lookup_many pass. Exact, with automatic fallback to the host path
+        whenever the LUT cannot be exact (see utils/vocab.codepoint_lut).
+        ``device_encode_max_cp``: eager codepoint-LUT bound for non-default
+        key functions (inputs with codepoints beyond it take the host
+        path).
+
+        ``calibrate``: with engine="auto", pick the count engine by a
+        cached one-shot on-device probe of the production count path
+        (ops/autotune.py) instead of the frozen v5e crossover heuristics —
+        use on other TPU generations. The measured choice is cached per
+        (backend, device kind, automaton geometry), so only the first
+        scanner of a geometry pays the probe."""
         if engine not in ("auto", "gather", "mxu", "hybrid"):
             raise ValueError(f"unknown engine {engine!r}")
         if prefilter not in ("off", "auto", "on"):
@@ -110,6 +145,37 @@ class DenseScanner:
         # parallel scanning. Reentrant: count() takes it and may re-enter
         # through _sparse_count.
         self._dispatch = threading.RLock()
+        self._device_encode = bool(device_encode)
+        self._device_encode_max_cp = int(device_encode_max_cp)
+        self._lut_cache: dict = {}
+        self._bind_kernels()
+        if calibrate and engine == "auto":
+            self._calibrate_engine()
+
+    def _calibrate_engine(self) -> None:
+        """Replace the heuristic auto-selection with a measured one
+        (ops/autotune.py): probe every available engine's production
+        count() once, keep the fastest, cache the choice."""
+        from ..ops import autotune, scan_hybrid, scan_mxu
+        candidates = ["gather"]
+        if scan_mxu.build_planes(self.tables.delta,
+                                 self.tables.nb_outputs) is not None:
+            candidates.append("mxu")
+        st = self._snap.stepped
+        if (st is not None and st.packed is not None
+                and scan_mxu.build_planes(
+                    self.tables.delta, self.tables.nb_outputs,
+                    max_states=scan_hybrid.MAX_HYBRID_STATES) is not None):
+            candidates.append("hybrid")
+        choice = "gather"
+        if len(candidates) > 1:
+            key = autotune.geometry_key(self.tables.n_states, self.V,
+                                        self.step_k)
+            choice = autotune.cached_choice(key)
+            if choice not in candidates:
+                choice = autotune.probe(self, candidates)
+                autotune.store_choice(key, choice)
+        self._engine = choice
         self._bind_kernels()
 
     # Snapshot delegation (the snapshot owns tables + device arrays; the
@@ -281,6 +347,106 @@ class DenseScanner:
         arrays pass through as pre-encoded ids (bounds-checked)."""
         return encode_signs(self.machine, signs, self.V)
 
+    # -- device-side encode (raw path) --------------------------------------
+
+    def _get_lut(self, kind: str):
+        """Device LUT for the raw path: (lut_dev, n_entries,
+        needs_max_check), or None when the raw path cannot be exact.
+        Cached per (vocab version, snapshot V). Two contracts enforced
+        here: ids >= V mask to OOV (snapshot pinning — letters registered
+        after the snapshot are unknown letters for it), and lut[0] == OOV
+        (the raw staging pads halo/tail with raw 0)."""
+        vocab = self.machine.vocab
+        key = (kind, getattr(vocab, "_version", 0), self.V)
+        hit = self._lut_cache.get(key)
+        if hit is not None:
+            return None if hit == "no" else hit
+        fn = getattr(vocab,
+                     "byte_lut" if kind == "byte" else "codepoint_lut", None)
+        res = None
+        if fn is not None:
+            res = fn() if kind == "byte" else fn(self._device_encode_max_cp)
+        if res is None:
+            self._lut_cache = {key: "no"}
+            return None
+        if kind == "byte":
+            lut, needs_check = np.asarray(res, np.int32).copy(), False
+        else:
+            lut, needs_check = res
+        lut = np.where(lut < self.V, lut, 0).astype(np.int32)
+        # Raw-0 padding must behave exactly like OOV: either it IS OOV, or
+        # its letter appears in no keyword (then every delta column entry
+        # is root and the root never emits — the same contract the
+        # reference's modification [3] gives undefined transitions,
+        # README.md:347). ByteMachine (all 256 bytes in-vocabulary) passes
+        # via the column check whenever byte 0 is not part of a keyword.
+        lid = int(lut[0])
+        if lid != 0 and not bool((self.tables.delta[:, lid] == 0).all()):
+            self._lut_cache = {key: "no"}
+            return None
+        entry = (jnp.asarray(lut), int(lut.shape[0]), needs_check)
+        self._lut_cache = {key: entry}
+        return entry
+
+    def _raw_stream(self, signs):
+        """(raw symbol ndarray, lut entry) for device-side encode, or None
+        (host-encode path). bytes/uint8 arrays -> raw uint8 through the
+        256-entry byte LUT; str -> int32 codepoints through the codepoint
+        LUT (utils/vocab.codepoint_lut exactness rules)."""
+        if not self._device_encode:
+            return None
+        if isinstance(signs, (bytes, bytearray)) or (
+                isinstance(signs, np.ndarray) and signs.dtype == np.uint8):
+            ent = self._get_lut("byte")
+            if ent is None:
+                return None
+            raw = (np.frombuffer(bytes(signs), np.uint8)
+                   if not isinstance(signs, np.ndarray) else signs)
+            return raw, ent
+        if isinstance(signs, str):
+            enc = getattr(self.machine.vocab, "str_encoding", None)
+            if enc:  # fixed byte alphabet (ByteMachine): str == its bytes
+                ent = self._get_lut("byte")
+                if ent is None:
+                    return None
+                return np.frombuffer(signs.encode(enc), np.uint8), ent
+            ent = self._get_lut("cp")
+            if ent is None:
+                return None
+            cps = np.frombuffer(signs.encode("utf-32-le"),
+                                dtype=np.uint32).view(np.int32)
+            _, n_lut, needs_check = ent
+            if needs_check and cps.size and int(cps.max()) >= n_lut - 1:
+                return None  # beyond the eager LUT: host path stays exact
+            return cps, ent
+        return None
+
+    def _stream_ext_raw(self, raw: np.ndarray, head, halo: int, unit: int):
+        """Stage a RAW symbol stream + ID-space head for the *_raw kernels:
+        ext_raw [halo + B*L] in the raw dtype (halo region and tail padded
+        with raw 0 — lut[0] == OOV by the _get_lut contract; column 0's
+        halo rows are overwritten on device by head_ids). The host work is
+        one memcpy of the raw input — for byte corpora both the staging
+        pass and the host->device transfer shrink 4x vs the id path."""
+        T = len(raw)
+        B = self._streams_for(T)
+        L = max(unit, -(-(-(-T // B)) // unit) * unit)
+        n = halo + B * L
+        key = (raw.dtype.char, n)
+        buf = self._ext_bufs.get(key) if self._reuse_buf else None
+        if buf is None:
+            buf = np.zeros(n, raw.dtype)
+            if self._reuse_buf:
+                self._ext_bufs[key] = buf
+        buf[:halo] = 0
+        buf[halo:halo + T] = raw
+        buf[halo + T:] = 0
+        head_ids = np.zeros(halo, np.int32)
+        if head is not None and len(head) and halo:
+            h = min(len(head), halo)
+            head_ids[halo - h:] = head[-h:]
+        return jnp.asarray(buf), jnp.asarray(head_ids), B, L, T
+
     # -- layout ------------------------------------------------------------
 
     def _streams_for(self, T: int) -> int:
@@ -327,25 +493,55 @@ class DenseScanner:
     def scan_states(self, signs, head=None) -> np.ndarray:
         """states[t] after consuming symbol t, for the whole stream
         (blocked-parallel on device, exact per-position states)."""
-        ids = self.encode(signs)
-        if len(ids) == 0:
+        if len(signs) == 0:
             return np.zeros(0, dtype=np.int32)
         t0 = time.perf_counter()
+        raw = self._raw_stream(signs)
         with self._dispatch:
-            ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
-            fn = make_blocked_scan_stream(self.V, self.halo, B, L)
-            out = np.asarray(fn(self._dflat, ext))[:T]
+            if raw is not None:
+                from ..ops.scan_xla import make_blocked_scan_raw
+                ext, head_ids, B, L, T = self._stream_ext_raw(
+                    raw[0], head, self.halo, 128)
+                fn = make_blocked_scan_raw(self.V, self.halo, B, L)
+                out = np.asarray(fn(self._dflat, raw[1][0], ext,
+                                    head_ids))[:T]
+            else:
+                ids = self.encode(signs)
+                ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
+                fn = make_blocked_scan_stream(self.V, self.halo, B, L)
+                out = np.asarray(fn(self._dflat, ext))[:T]
         self._record("scan_states", T, time.perf_counter() - t0)
         return out
 
     def count(self, signs, head=None) -> int:
         """Total number of keyword occurrences in the stream (fused count,
-        nothing materialized per position; k-char stepped when enabled)."""
+        nothing materialized per position; k-char stepped when enabled).
+
+        bytes / str inputs take the raw device-encode path when exact
+        (LUT gather inside the scan jit — see ``device_encode``); other
+        inputs (and the sparse prefilter) encode on the host."""
         from ..ops import multistep as ms
+        if len(signs) == 0:
+            return 0
+        t0 = time.perf_counter()
+        if self._prefilter == "off":
+            raw = self._raw_stream(signs)
+            if raw is not None:
+                with self._dispatch:
+                    n = self._count_raw(raw[0], raw[1], head)
+                if n is not None:
+                    self._record("count", len(signs),
+                                 time.perf_counter() - t0)
+                    return n
+        if _is_device_array(signs):
+            with self._dispatch:
+                n = self._count_device(signs, head)
+            self._record("count", int(signs.shape[0]),
+                         time.perf_counter() - t0)
+            return n
         ids = self.encode(signs)
         if len(ids) == 0:
             return 0
-        t0 = time.perf_counter()
         with self._dispatch:
             if self._prefilter != "off":
                 n = self._sparse_count(ids, head)
@@ -353,48 +549,189 @@ class DenseScanner:
                     self._record("count", len(ids),
                                  time.perf_counter() - t0)
                     return n
-            st = self._stepped
-            if self._mxu is not None:
-                from ..ops import scan_mxu
-                planes, cbits, n_planes, S_pad = self._mxu
-                ext, B, L, _ = self._stream_ext(ids, head, self.halo, 128)
-                self._guard_acc(L)
-                fn = scan_mxu.make_mxu_count_stream(
-                    self.V, S_pad, cbits, n_planes, self.halo, B, L)
-                per_stream = fn(planes, ext)
-            elif self._hybrid is not None:
-                from ..ops import scan_hybrid
-                planes, cbm, n_planes, S_pad = self._hybrid
-                ext, B, L, _ = self._stream_ext(ids, head, self._halo_sym,
-                                                128 * st.k)
-                self._guard_acc(L)
-                B2 = scan_hybrid.mxu_cols(B, S_pad)
-                fn = scan_hybrid.make_hybrid_count_stream(
-                    st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
-                    S_pad, n_planes, cbm, B - B2, B2, L)
-                per_stream = fn(self._st_dev[0], planes, ext)
-            elif st is not None:
-                ext, B, L, _ = self._stream_ext(ids, head, self._halo_sym,
-                                                128 * st.k)
-                self._guard_acc(L)
-                if st.packed is not None:
-                    fn = ms.make_stepped_count_stream(
-                        st.V, st.k, st.Vk, st.count_bits,
-                        self._halo_steps, B, L)
-                else:
-                    fn = ms.make_stepped_count_unpacked_stream(
-                        st.V, st.k, st.Vk, self._halo_steps, B, L)
-                per_stream = fn(*self._st_dev, ext)
-            else:
-                ext, B, L, _ = self._stream_ext(ids, head, self.halo, 128)
-                self._guard_acc(L)
-                fn = make_blocked_count_stream(self.V, self.halo, B, L)
-                per_stream = fn(self._dflat, self._nb_out, ext)
-            # int64 grand total on host: per-stream totals are int32-safe
-            # but their sum can exceed 2^31 on pod-scale corpora.
-            n = int(np.asarray(per_stream).sum(dtype=np.int64))
+
+            def get_ext(halo, unit):
+                return self._stream_ext(ids, head, halo, unit)[:3]
+
+            n = self._count_dispatch(get_ext)
         self._record("count", len(ids), time.perf_counter() - t0)
         return n
+
+    def _count_dispatch(self, get_ext) -> int:
+        """Engine-select and run a count over an ext stream buffer.
+        ``get_ext(halo, unit) -> (ext [halo + B*L], B, L)`` — host-staged
+        (_stream_ext) or built on device (_count_device)."""
+        from ..ops import multistep as ms
+        st = self._stepped
+        if self._mxu is not None:
+            from ..ops import scan_mxu
+            planes, cbits, n_planes, S_pad = self._mxu
+            ext, B, L = get_ext(self.halo, 128)
+            self._guard_acc(L)
+            fn = scan_mxu.make_mxu_count_stream(
+                self.V, S_pad, cbits, n_planes, self.halo, B, L)
+            per_stream = fn(planes, ext)
+        elif self._hybrid is not None:
+            from ..ops import scan_hybrid
+            planes, cbm, n_planes, S_pad = self._hybrid
+            ext, B, L = get_ext(self._halo_sym, 128 * st.k)
+            self._guard_acc(L)
+            B2 = scan_hybrid.mxu_cols(B, S_pad)
+            fn = scan_hybrid.make_hybrid_count_stream(
+                st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
+                S_pad, n_planes, cbm, B - B2, B2, L)
+            per_stream = fn(self._st_dev[0], planes, ext)
+        elif st is not None:
+            ext, B, L = get_ext(self._halo_sym, 128 * st.k)
+            self._guard_acc(L)
+            if st.packed is not None:
+                fn = ms.make_stepped_count_stream(
+                    st.V, st.k, st.Vk, st.count_bits,
+                    self._halo_steps, B, L)
+            else:
+                fn = ms.make_stepped_count_unpacked_stream(
+                    st.V, st.k, st.Vk, self._halo_steps, B, L)
+            per_stream = fn(*self._st_dev, ext)
+        else:
+            ext, B, L = get_ext(self.halo, 128)
+            self._guard_acc(L)
+            fn = make_blocked_count_stream(self.V, self.halo, B, L)
+            per_stream = fn(self._dflat, self._nb_out, ext)
+        # int64 grand total on host: per-stream totals are int32-safe
+        # but their sum can exceed 2^31 on pod-scale corpora.
+        return int(np.asarray(per_stream).sum(dtype=np.int64))
+
+    def _ext_device(self, ids, head, halo: int, unit: int):
+        """Device-side ext construction for DEVICE-RESIDENT corpora: the
+        [halo + B*L] stream buffer is concatenated in-graph — no host
+        staging, no re-upload (serving a corpus already in HBM)."""
+        T = int(ids.shape[0])
+        B = self._streams_for(T)
+        L = max(unit, -(-(-(-T // B)) // unit) * unit)
+        head_ids = np.zeros(halo, np.int32)
+        if head is not None and len(head) and halo:
+            h = min(len(head), halo)
+            head_ids[halo - h:] = head[-h:]
+        ext = jnp.concatenate([
+            jnp.asarray(head_ids),
+            ids.astype(jnp.int32) if ids.dtype != jnp.int32 else ids,
+            jnp.zeros(B * L - T, jnp.int32)])
+        return ext, B, L
+
+    def _count_device(self, ids, head) -> int:
+        """Count over a device-resident int32 id array (jax.Array input):
+        ext built in-graph; the sparse prefilter runs its block filter ON
+        DEVICE (ops/sparse.make_block_filter) — no host filter pass and no
+        index upload (VERDICT r2 item 4)."""
+        if not jnp.issubdtype(ids.dtype, jnp.integer):
+            raise ValueError(
+                "device-array input must be integer letter ids "
+                f"(got dtype {ids.dtype})")
+        if int(ids.shape[0]) == 0:
+            return 0
+        if self._prefilter != "off":
+            n = self._sparse_count_device(ids, head)
+            if n is not None:
+                return n
+        return self._count_dispatch(
+            lambda halo, unit: self._ext_device(ids, head, halo, unit))
+
+    def _sparse_count_device(self, ids, head) -> Optional[int]:
+        """Filter-then-verify with the block filter on device: one kernel
+        computes the live-block order + count, one 4-byte sync fetches the
+        live count (to pick the pow2 gather capacity), and the gather/scan
+        kernel consumes the DEVICE-RESIDENT order array — eliminating the
+        host bandwidth pass, the index upload, and the host-resident-ids
+        requirement of the host filter path."""
+        from ..ops import sparse
+        st = self._stepped
+        use_stepped = (self._mxu is None and st is not None
+                       and st.packed is not None)
+        k = st.k if use_stepped else 1
+        halo = self._halo_sym if use_stepped else self.halo
+        L_blk = 128 * k
+        if halo > L_blk:
+            return None
+        T = int(ids.shape[0])
+        nB_real = -(-T // L_blk)
+        nB = 1 << (nB_real - 1).bit_length()
+        n_ext = halo + (nB + 1) * L_blk
+        head_ids = np.zeros(halo, np.int32)
+        if head is not None and len(head) and halo:
+            h = min(len(head), halo)
+            head_ids[halo - h:] = head[-h:]
+        ext = jnp.concatenate([
+            jnp.asarray(head_ids),
+            ids.astype(jnp.int32) if ids.dtype != jnp.int32 else ids,
+            jnp.zeros(n_ext - halo - T, jnp.int32)])
+        order, n_live_dev = sparse.make_block_filter(nB, L_blk, halo)(ext)
+        n_live = int(n_live_dev)  # the one tiny host sync
+        self.stats["sparse_live_frac"] = n_live / max(nB_real, 1)
+        if n_live == 0:
+            return 0
+        if self._prefilter == "auto" and n_live * 2 > nB_real:
+            return None
+        cap = min(nB, max(8, 1 << (n_live - 1).bit_length()))
+        if self._mxu is not None:
+            planes, cbits, n_planes, S_pad = self._mxu
+            fn = sparse.make_sparse_count_mxu_dev(
+                self.V, S_pad, cbits, n_planes, halo, L_blk, nB, cap)
+            per = fn(planes, ext, order, n_live_dev)
+        elif use_stepped:
+            fn = sparse.make_sparse_count_stepped_dev(
+                st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
+                L_blk, nB, cap)
+            per = fn(self._st_dev[0], ext, order, n_live_dev)
+        else:
+            fn = sparse.make_sparse_count_dev(self.V, halo, L_blk, nB, cap)
+            per = fn(self._dflat, self._nb_out, ext, order, n_live_dev)
+        return int(np.asarray(per).sum(dtype=np.int64))
+
+    def _count_raw(self, raw: np.ndarray, ent, head) -> Optional[int]:
+        """Raw-path count dispatch (device-side encode). Returns None when
+        the active engine has no raw kernel (unpacked stepped fallback),
+        letting count() fall through to the host-encode path."""
+        lut_dev = ent[0]
+        st = self._stepped
+        if self._mxu is not None:
+            from ..ops import scan_mxu
+            planes, cbits, n_planes, S_pad = self._mxu
+            ext, head_ids, B, L, _ = self._stream_ext_raw(
+                raw, head, self.halo, 128)
+            self._guard_acc(L)
+            fn = scan_mxu.make_mxu_count_raw(
+                self.V, S_pad, cbits, n_planes, self.halo, B, L)
+            per_stream = fn(planes, lut_dev, ext, head_ids)
+        elif self._hybrid is not None:
+            from ..ops import scan_hybrid
+            planes, cbm, n_planes, S_pad = self._hybrid
+            ext, head_ids, B, L, _ = self._stream_ext_raw(
+                raw, head, self._halo_sym, 128 * st.k)
+            self._guard_acc(L)
+            B2 = scan_hybrid.mxu_cols(B, S_pad)
+            fn = scan_hybrid.make_hybrid_count_raw(
+                st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
+                S_pad, n_planes, cbm, B - B2, B2, L)
+            per_stream = fn(self._st_dev[0], planes, lut_dev, ext, head_ids)
+        elif st is not None and st.packed is not None:
+            from ..ops import multistep as ms
+            ext, head_ids, B, L, _ = self._stream_ext_raw(
+                raw, head, self._halo_sym, 128 * st.k)
+            self._guard_acc(L)
+            fn = ms.make_stepped_count_raw(
+                st.V, st.k, st.Vk, st.count_bits, self._halo_steps, B, L)
+            per_stream = fn(self._st_dev[0], lut_dev, ext, head_ids)
+        elif st is not None:
+            return None  # unpacked two-table fallback: host path
+        else:
+            from ..ops.scan_xla import make_blocked_count_raw
+            ext, head_ids, B, L, _ = self._stream_ext_raw(
+                raw, head, self.halo, 128)
+            self._guard_acc(L)
+            fn = make_blocked_count_raw(self.V, self.halo, B, L)
+            per_stream = fn(self._dflat, self._nb_out, lut_dev, ext,
+                            head_ids)
+        return int(np.asarray(per_stream).sum(dtype=np.int64))
 
     def _guard_acc(self, stream_symbols: int) -> None:
         """Pre-dispatch overflow guard: per-stream totals accumulate in
@@ -580,17 +917,26 @@ class DenseScanner:
         return MatchSet(self.machine, self.tables, ends, end_states, idx)
 
     def _find_matches_device(self, signs, offset, head, max_hits):
-        from ..ops.hits import make_blocked_hits_stream
-        ids = self.encode(signs)
-        if len(ids) == 0:
+        from ..ops.hits import make_blocked_hits_raw, make_blocked_hits_stream
+        if len(signs) == 0:
             return []
         t0 = time.perf_counter()
+        raw = self._raw_stream(signs)
         with self._dispatch:
-            ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
-            fn = make_blocked_hits_stream(self.V, self.halo, int(max_hits),
-                                          B, L)
-            positions, sts, n_hits, n_hit_pos = fn(self._dflat,
-                                                   self._nb_out, ext)
+            if raw is not None:
+                ext, head_ids, B, L, T = self._stream_ext_raw(
+                    raw[0], head, self.halo, 128)
+                fn = make_blocked_hits_raw(self.V, self.halo,
+                                           int(max_hits), B, L)
+                positions, sts, n_hits, n_hit_pos = fn(
+                    self._dflat, self._nb_out, raw[1][0], ext, head_ids)
+            else:
+                ids = self.encode(signs)
+                ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
+                fn = make_blocked_hits_stream(self.V, self.halo,
+                                              int(max_hits), B, L)
+                positions, sts, n_hits, n_hit_pos = fn(self._dflat,
+                                                       self._nb_out, ext)
             n_hit_pos = int(n_hit_pos)
             positions = np.asarray(positions)
             sts = np.asarray(sts)
@@ -662,30 +1008,40 @@ class StreamSession:
         s = self.scanner
         return max(s.halo, s._halo_sym if s._stepped is not None else 0)
 
-    def _advance(self, ids: np.ndarray) -> np.ndarray:
+    def _advance(self, signs) -> np.ndarray:
+        """Record the chunk: return the PREVIOUS tail (the head carry for
+        this chunk's scan) and keep the new tail. Only the last ``hmax``
+        symbols are host-encoded — the chunk body rides whichever encode
+        path the scanner picks (raw device-side for bytes/str)."""
         head = self._tail
-        joined = np.concatenate([self._tail, ids]) if len(self._tail) else ids
-        self._tail = joined[-self._hmax:] if self._hmax else joined[:0]
-        self.offset += len(ids)
+        hmax = self._hmax
+        n = len(signs)
+        if hmax and n:
+            tail_ids = np.asarray(self.scanner.encode(signs[-hmax:]),
+                                  np.int32)
+            joined = (np.concatenate([self._tail, tail_ids])
+                      if len(self._tail) else tail_ids)
+            self._tail = joined[-hmax:]
+        elif not hmax:
+            self._tail = self._tail[:0]
+        self.offset += n
         return head
 
     def feed_count(self, signs) -> int:
         """Count matches in the next chunk (including matches spanning the
         previous chunk edge, attributed to this chunk)."""
-        ids = self.scanner.encode(signs)
-        head = self._advance(ids)
-        n = self.scanner.count(ids, head=head) if len(ids) else 0
+        head = self._advance(signs)
+        n = self.scanner.count(signs, head=head) if len(signs) else 0
         self.total += n
         return n
 
     def feed_matches(self, signs):
         """Match events in the next chunk, with absolute stream positions."""
-        ids = self.scanner.encode(signs)
         offset = self.offset
-        head = self._advance(ids)
-        if not len(ids):
+        head = self._advance(signs)
+        if not len(signs):
             return []
-        out = self.scanner.find_matches(ids, offset=offset, head=head)
+        out = self.scanner.find_matches(signs, offset=offset, head=head)
         self.total += len(out)
         return out
 

@@ -453,6 +453,67 @@ void acx_insert_keywords(Machine* m, const int32_t* letters,
   }
 }
 
+// Creation-order edge replay (checkpoint restore, utils/checkpoint.py):
+// recreates state s as exactly id s from its (parent, letter) backlink —
+// the whole trie in ONE FFI call instead of one insert_letter round-trip
+// per state. Returns 0 on success, else the id of the first state whose
+// recreated id diverged (corrupt checkpoint). Same deferred-rebuild trick
+// as acx_insert_keywords: for big Meyer machines the per-edge incremental
+// fail maintenance is skipped and fail/IF are rebuilt once at the end
+// (identical result by the Meyer==AC75 equivalence); output counts are
+// correct because end marking (acx_insert_ends) happens AFTER this call
+// and propagates over the rebuilt IF sets.
+int64_t acx_restore_machine(Machine* m, const int32_t* prev_state,
+                            const int32_t* prev_letter,
+                            const uint8_t* is_end, const int32_t* kw_rank,
+                            int64_t S) {
+  std::lock_guard<std::mutex> lock(m->token);
+  bool was_inc = m->incremental;
+  m->incremental = false;  // skip per-edge fail/IF maintenance entirely
+  m->edges.reserve_edges(static_cast<size_t>(S));
+  size_t reserve_states = m->n_states_ + static_cast<size_t>(S);
+  m->fail.reserve(reserve_states);
+  m->prev_state.reserve(reserve_states);
+  m->prev_letter.reserve(reserve_states);
+  m->is_end.reserve(reserve_states);
+  m->nb_outputs.reserve(reserve_states);
+  m->depth.reserve(reserve_states);
+  m->kw_rank.reserve(reserve_states);
+  m->if_head.reserve(reserve_states);
+  m->if_next.reserve(reserve_states);
+  m->if_prev.reserve(reserve_states);
+  std::vector<int32_t> scratch;
+  for (int64_t s = 1; s < S; ++s) {
+    int32_t nxt = m->edges.find(prev_state[s], prev_letter[s]);
+    if (nxt == kNoState)
+      nxt = m->enter_child(prev_state[s], prev_letter[s], scratch);
+    if (nxt != s) {
+      m->incremental = was_inc;
+      if (was_inc) m->rebuild_all();
+      return s;
+    }
+  }
+  // Adopt end flags and ranks verbatim (ranks are a 0..n-1 permutation in
+  // a valid checkpoint); output counts come from the single rebuild below
+  // (nb_outputs[s] = is_end[s] + nb_outputs[fail[s]] in depth order) —
+  // not from per-end IF-closure propagation, which dominated the replay
+  // at pod-dictionary scale.
+  int64_t n_seq = 0;
+  for (int64_t s = 0; s < S; ++s) {
+    if (!is_end[s]) continue;
+    m->is_end[s] = 1;
+    m->kw_rank[s] = kw_rank[s];
+    ++n_seq;
+    ++m->reconstruct;
+  }
+  m->nb_sequences = n_seq;
+  m->incremental = was_inc;
+  if (was_inc) m->rebuild_all();  // fail + IF + output counts, one pass
+  // AC75 machines leave `reconstruct` dirty: the lazy BFS before the next
+  // match recomputes fail/output exactly like a live-built machine.
+  return 0;
+}
+
 int64_t acx_match(Machine* m, int32_t state, int32_t letter,
                   int32_t* next_state) {
   std::lock_guard<std::mutex> lock(m->token);

@@ -79,3 +79,19 @@ def make_blocked_hits_stream(V: int, halo: int, max_hits: int,
         return inner(dflat, nb_out, win)
 
     return hits
+
+
+@lru_cache(maxsize=None)
+def make_blocked_hits_raw(V: int, halo: int, max_hits: int, B: int, L: int):
+    """Raw-input variant: device-side encode fused in front
+    (scan_xla.raw_window staging contract)."""
+    from .scan_xla import raw_window
+
+    inner = make_blocked_hits(V, halo, max_hits)
+
+    @jax.jit
+    def hits(dflat, nb_out, lut, ext_raw, head_ids):
+        win = raw_window(lut, ext_raw, head_ids, B, L, halo)
+        return inner(dflat, nb_out, win)
+
+    return hits

@@ -295,6 +295,22 @@ def make_stepped_count_stream(V: int, k: int, Vk: int, count_bits: int,
 
 
 @lru_cache(maxsize=None)
+def make_stepped_count_raw(V: int, k: int, Vk: int, count_bits: int,
+                           halo_steps: int, B: int, L: int):
+    """Raw-input packed count: the vocab encode rides inside the jit
+    (scan_xla.raw_window staging contract). L % k == 0."""
+    from .scan_xla import raw_window
+
+    @jax.jit
+    def count(packed, lut, ext_raw, head_ids):
+        win = raw_window(lut, ext_raw, head_ids, B, L, halo_steps * k)
+        return stepped_count_core(V, k, Vk, count_bits, halo_steps,
+                                  packed, win)
+
+    return count
+
+
+@lru_cache(maxsize=None)
 def make_stepped_count_unpacked_stream(V: int, k: int, Vk: int,
                                        halo_steps: int, B: int, L: int):
     """Stream-input unpacked (two-table) count."""

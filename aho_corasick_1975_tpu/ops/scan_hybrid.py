@@ -108,3 +108,21 @@ def make_hybrid_count_stream(V: int, k: int, Vk: int, count_bits_g: int,
                                  packed, planes, win)
 
     return count
+
+
+@lru_cache(maxsize=None)
+def make_hybrid_count_raw(V: int, k: int, Vk: int, count_bits_g: int,
+                          halo_steps: int, S_pad: int, n_planes: int,
+                          count_bits_m: int, B1: int, B2: int, L: int):
+    """Raw-input hybrid count (scan_xla.raw_window staging contract)."""
+    from .scan_xla import raw_window
+
+    @jax.jit
+    def count(packed, planes, lut, ext_raw, head_ids):
+        win = raw_window(lut, ext_raw, head_ids, B1 + B2, L,
+                         halo_steps * k)
+        return hybrid_count_core(V, k, Vk, count_bits_g, halo_steps,
+                                 S_pad, n_planes, count_bits_m, B1,
+                                 packed, planes, win)
+
+    return count

@@ -125,6 +125,21 @@ def make_mxu_count_stream(V: int, S_pad: int, count_bits: int,
 
 
 @lru_cache(maxsize=None)
+def make_mxu_count_raw(V: int, S_pad: int, count_bits: int,
+                       n_planes: int, halo: int, B: int, L: int):
+    """Raw-input MXU count (scan_xla.raw_window staging contract)."""
+    from .scan_xla import raw_window
+
+    @jax.jit
+    def count(planes, lut, ext_raw, head_ids):
+        win = raw_window(lut, ext_raw, head_ids, B, L, halo)
+        return mxu_count_core(V, S_pad, count_bits, n_planes, halo,
+                              planes, win)
+
+    return count
+
+
+@lru_cache(maxsize=None)
 def make_mxu_count(V: int, S_pad: int, count_bits: int, n_planes: int):
     """Time-major batch count (the count_many shape): tm [L, B] in with
     every stream starting at the root (halo 0, OOV padding inert), per-

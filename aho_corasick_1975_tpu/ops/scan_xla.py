@@ -127,6 +127,54 @@ def window_layout(ids_ext, n_blocks: int, block_len: int, halo: int):
     return jnp.concatenate([halo_rows, body], axis=0)
 
 
+def raw_window(lut, ext_raw, head_ids, B: int, L: int, halo: int):
+    """Device-side encode fused into the window layout: ext_raw is RAW
+    symbols (uint8 bytes or int32 codepoints, [halo + B*L], tail-padded
+    with raw 0 — callers guarantee lut[0] == OOV), translated through the
+    replicated LUT after windowing (1-byte layout traffic for byte
+    corpora), with column 0's halo rows overwritten by head_ids (session
+    carry in ID space — zeros for a stream head). This moves the whole
+    vocab encode of utils/vocab.lookup_many into the scan jit: the only
+    remaining host work per scan is one memcpy of the raw input."""
+    win = lut[window_layout(ext_raw, B, L, halo)]
+    if halo:
+        win = lax.dynamic_update_slice(
+            win, head_ids.astype(win.dtype)[:, None], (0, 0))
+    return win
+
+
+@lru_cache(maxsize=None)
+def make_blocked_count_raw(V: int, halo: int, B: int, L: int):
+    """Raw-input dense count: (dflat, nb_out, lut, ext_raw, head_ids) ->
+    per-stream totals [B] int32. See raw_window for the staging contract."""
+
+    @jax.jit
+    def count(dflat, nb_out, lut, ext_raw, head_ids):
+        win = raw_window(lut, ext_raw, head_ids, B, L, halo)
+        return blocked_count_core(V, halo, dflat, nb_out, win)
+
+    return count
+
+
+@lru_cache(maxsize=None)
+def make_blocked_scan_raw(V: int, halo: int, B: int, L: int):
+    """Raw-input scan_states: states [B*L] out in stream order."""
+
+    @jax.jit
+    def scan(dflat, lut, ext_raw, head_ids):
+        win = raw_window(lut, ext_raw, head_ids, B, L, halo)
+        s0 = win[0] * 0
+
+        def step(s, c):
+            s2 = dflat[s * V + c]
+            return s2, s2
+
+        _, states_tm = lax.scan(step, s0, win)
+        return states_tm[halo:, :].T.reshape(-1)
+
+    return scan
+
+
 @lru_cache(maxsize=None)
 def make_blocked_count_stream(V: int, halo: int, B: int, L: int):
     """Stream-input count: takes ext [halo + B*L] (contiguous stream with

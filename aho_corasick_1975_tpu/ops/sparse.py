@@ -103,6 +103,90 @@ def make_sparse_count_mxu(V: int, S_pad: int, count_bits: int,
     return count
 
 
+# -- device-side block filter (no host pass, no index upload) --------------
+
+
+@lru_cache(maxsize=None)
+def make_block_filter(nB: int, L_blk: int, halo: int):
+    """Live-block filter ON DEVICE: ext [halo + (nB+1)*L_blk] ->
+    (order [nB] int32 — live block indices first, stream order preserved,
+    dead blocks after; n_live int32). The caller syncs only the 4-byte
+    n_live (to pick the pow2 gather capacity); the order array stays
+    device-resident and feeds the *_dev sparse kernels directly. This
+    removes the host bandwidth pass and the index upload of the host
+    filter (live_blocks), and lets device-resident corpora skip the host
+    entirely (VERDICT r2 item 4)."""
+
+    @jax.jit
+    def filt(ext):
+        body = ext[halo:halo + nB * L_blk].reshape(nB, L_blk)
+        live = body.max(axis=1) > 0
+        n_live = jnp.sum(live, dtype=jnp.int32)
+        order = jnp.argsort(jnp.logical_not(live),
+                            stable=True).astype(jnp.int32)
+        return order, n_live
+
+    return filt
+
+
+def _dev_idx(order, n_live, nB: int, cap: int):
+    """First cap entries of the device-computed order, padded to the spare
+    all-OOV block nB beyond the live count."""
+    sel = order[:cap]
+    return jnp.where(jnp.arange(cap, dtype=jnp.int32) < n_live, sel, nB)
+
+
+@lru_cache(maxsize=None)
+def make_sparse_count_dev(V: int, halo: int, L_blk: int, nB: int, cap: int):
+    """Dense-table sparse count with a DEVICE-resident index order
+    (make_block_filter output): (dflat, nb_out, ext, order, n_live)."""
+    from .scan_xla import blocked_count_core
+
+    @jax.jit
+    def count(dflat, nb_out, ext, order, n_live):
+        win = _window_gather(ext, _dev_idx(order, n_live, nB, cap),
+                             nB, L_blk, halo)
+        return blocked_count_core(V, halo, dflat, nb_out, win)
+
+    return count
+
+
+@lru_cache(maxsize=None)
+def make_sparse_count_stepped_dev(V: int, k: int, Vk: int, count_bits: int,
+                                  halo_steps: int, L_blk: int, nB: int,
+                                  cap: int):
+    """Packed k-gram sparse count, device-resident index order."""
+    from .multistep import stepped_count_core
+
+    halo = halo_steps * k
+
+    @jax.jit
+    def count(packed, ext, order, n_live):
+        win = _window_gather(ext, _dev_idx(order, n_live, nB, cap),
+                             nB, L_blk, halo)
+        return stepped_count_core(V, k, Vk, count_bits, halo_steps,
+                                  packed, win)
+
+    return count
+
+
+@lru_cache(maxsize=None)
+def make_sparse_count_mxu_dev(V: int, S_pad: int, count_bits: int,
+                              n_planes: int, halo: int, L_blk: int,
+                              nB: int, cap: int):
+    """MXU sparse count, device-resident index order."""
+    from .scan_mxu import mxu_count_core
+
+    @jax.jit
+    def count(planes, ext, order, n_live):
+        win = _window_gather(ext, _dev_idx(order, n_live, nB, cap),
+                             nB, L_blk, halo)
+        return mxu_count_core(V, S_pad, count_bits, n_planes, halo,
+                              planes, win)
+
+    return count
+
+
 @lru_cache(maxsize=None)
 def make_sparse_count_stepped(V: int, k: int, Vk: int, count_bits: int,
                               halo_steps: int, L_blk: int, nB: int,

@@ -94,14 +94,22 @@ def load_machine(path_or_file: Union[str, BinaryIO], key_fn: Any = "saved",
 
     # Replay edges in creation order: child ids are assigned sequentially,
     # so state s recreates as exactly state s (incl. Meyer IF maintenance).
+    # The native backend replays the whole trie in one FFI call (round-2
+    # weakness: one ctypes round-trip per state was minutes at 2.5M
+    # states); the Python backend keeps the per-edge loop.
     b = m._b
-    for s in range(1, S):
-        got = b.insert_letter(int(prev_state[s]), int(prev_letter[s]))
-        assert got == s, "checkpoint replay diverged"
-    # Mark keyword ends in rank order so ranks are reassigned identically.
-    ends = np.nonzero(is_end)[0]
-    for s in ends[np.argsort(kw_rank[ends], kind="stable")]:
-        b.insert_end(int(s))
+    if hasattr(b, "restore_machine"):
+        b.restore_machine(prev_state, prev_letter, is_end, kw_rank)
+    else:
+        ends = np.nonzero(is_end)[0]
+        rank_order = ends[np.argsort(kw_rank[ends], kind="stable")]
+        for s in range(1, S):
+            got = b.insert_letter(int(prev_state[s]), int(prev_letter[s]))
+            if got != s:
+                raise ValueError(f"checkpoint replay diverged at state {s}")
+        # Mark keyword ends in rank order so ranks reassign identically.
+        for s in rank_order:
+            b.insert_end(int(s))
     # Restore the snapshot-version counter exactly: replay only counts
     # distinct end-insertions, but duplicates also bump the version, and
     # StreamSession checkpoints pin on it.

