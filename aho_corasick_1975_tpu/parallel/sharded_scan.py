@@ -183,6 +183,98 @@ def make_sharded_mxu_count(mesh: Mesh, V: int, S_pad: int, count_bits: int,
 
 
 @lru_cache(maxsize=None)
+def make_sharded_hybrid_count(mesh: Mesh, V: int, k: int, Vk: int,
+                              count_bits_g: int, halo_steps: int,
+                              S_pad: int, n_planes: int, count_bits_m: int,
+                              n_streams_per_device: int = 256,
+                              axis_name: str = DATA_AXIS):
+    """Mesh-wide hybrid gather+MXU dual-issue count (ops/scan_hybrid.py):
+    packed table + digit planes replicated, corpus sharded, same ppermute
+    halo handoff and two-level int32/int64 reduction as the other sharded
+    counts. Tiny per-device streams (B < 16) degenerate to the pure
+    stepped core — the MXU columns only pay off riding a wide gather."""
+    from ..ops import scan_hybrid
+    n_dev = mesh.shape[axis_name]
+    halo_sym = halo_steps * k
+
+    def local_count(packed, planes, head, ids_local):
+        ids_local = ids_local.reshape(-1)
+        Tl = ids_local.shape[0]
+        left = _right_shift_halo(ids_local, halo_sym, axis_name, n_dev,
+                                 head)
+        unit = 64 * k
+        B = min(n_streams_per_device, max(1, Tl // unit))
+        L = -(-(-(-Tl // B)) // unit) * unit
+        pad = B * L - Tl
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
+        win = window_layout(ext, B, L, halo_sym)
+        B2 = scan_hybrid.mxu_cols(B, S_pad) if B >= 16 else 0
+        if B2 == 0:
+            tot = ms.stepped_count_core(V, k, Vk, count_bits_g,
+                                        halo_steps, packed, win)
+        else:
+            tot = scan_hybrid.hybrid_count_core(
+                V, k, Vk, count_bits_g, halo_steps, S_pad, n_planes,
+                count_bits_m, B - B2, packed, planes, win)
+        return lax.all_gather(tot, axis_name)
+
+    inner = jax.jit(jax.shard_map(local_count, mesh=mesh,
+                                  in_specs=(P(), P(), P(), P(axis_name)),
+                                  out_specs=P(), check_vma=False))
+
+    def fn(packed, planes, ids, head=None):
+        if head is None:
+            head = np.zeros(halo_sym, np.int32)
+        return inner(packed, planes, head, ids)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def make_sharded_sparse_count(mesh: Mesh, V: int, k: int, Vk: int,
+                              count_bits: int, halo_steps: int,
+                              L_blk: int, nB_loc: int, cap: int,
+                              use_stepped: bool,
+                              axis_name: str = DATA_AXIS):
+    """Mesh-wide filter-then-verify sparse count (ops/sparse.py, sharded):
+    each shard gathers and scans ONLY its live L_blk-symbol blocks
+    (host-filtered; pad slots point at the per-shard spare all-OOV block),
+    with the cross-shard halo riding the same ppermute handoff — block 0's
+    halo is the left neighbor's tail. Exact by the OOV-resets-to-root
+    contract; per-window totals all_gather back for the int64 host sum."""
+    from ..ops.sparse import _window_gather
+    n_dev = mesh.shape[axis_name]
+    halo = halo_steps * k if use_stepped else halo_steps
+
+    def local_count(tab_a, tab_b, head, ids_local, idx_local):
+        ids_local = ids_local.reshape(-1)
+        idx_local = idx_local.reshape(-1)
+        left = _right_shift_halo(ids_local, halo, axis_name, n_dev, head)
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((L_blk,), ids_local.dtype)])
+        win = _window_gather(ext, idx_local, nB_loc, L_blk, halo)
+        if use_stepped:
+            tot = ms.stepped_count_core(V, k, Vk, count_bits, halo_steps,
+                                        tab_a, win)
+        else:
+            tot = blocked_count_core(V, halo, tab_a, tab_b, win)
+        return lax.all_gather(tot, axis_name)
+
+    inner = jax.jit(jax.shard_map(
+        local_count, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name), P(axis_name)),
+        out_specs=P(), check_vma=False))
+
+    def fn(tab_a, tab_b, ids, idx, head=None):
+        if head is None:
+            head = np.zeros(halo, np.int32)
+        return inner(tab_a, tab_b, head, ids, idx)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
 def make_sharded_mxu_count_many(mesh: Mesh, V: int, S_pad: int,
                                 count_bits: int, n_planes: int,
                                 axis_name: str = DATA_AXIS):
@@ -357,15 +449,25 @@ class ShardedScanner:
                  axis_name: str = DATA_AXIS, tables=None,
                  step_k: "int | str" = "auto",
                  step_budget_bytes: int = 128 * 1024 * 1024,
-                 engine: str = "auto"):
+                 engine: str = "auto", prefilter: str = "off"):
         """``engine``: same contract as DenseScanner — "gather" (packed
         k-gram gather, default workhorse), "mxu" (one-hot digit-matmul
-        count engine, small automata only, raises when oversize), "auto"
-        (MXU when measured-faster: TPU backend and within the
-        ops/scan_mxu.py crossover envelope)."""
-        if engine not in ("auto", "gather", "mxu"):
+        count engine, small automata only, raises when oversize), "hybrid"
+        (dual-issue gather+MXU count, mid-size automata — raises when
+        outside the ops/scan_hybrid.py envelope), "auto" (pick by the
+        measured single-chip crossovers: TPU backend + size envelopes).
+
+        ``prefilter``: "off" | "auto" | "on" — the filter-then-verify
+        sparse count for low-match-density corpora (ops/sparse.py),
+        sharded: the host bandwidth pass marks live blocks per shard and
+        each device gathers/scans only its own live windows. Same
+        exactness contract as DenseScanner(prefilter=...)."""
+        if engine not in ("auto", "gather", "mxu", "hybrid"):
             raise ValueError(f"unknown engine {engine!r}")
+        if prefilter not in ("off", "auto", "on"):
+            raise ValueError(f"unknown prefilter {prefilter!r}")
         self._engine = engine
+        self._prefilter = prefilter
         self.machine = machine
         self.mesh = mesh
         self.axis_name = axis_name
@@ -384,6 +486,7 @@ class ShardedScanner:
             packed_only=True)
         self.halo = max(self.tables.max_depth - 1, 0)
         self._n_streams_per_device = n_streams_per_device
+        self.stats: dict = {}
         self._bind_kernels()
 
     # Snapshot delegation (mirrors DenseScanner).
@@ -444,13 +547,13 @@ class ShardedScanner:
         # sync with the dictionary (S is small by construction). Same auto
         # gate as DenseScanner: TPU backend + measured-crossover envelope.
         self._mxu = None
+        on_tpu = jax.default_backend() != "cpu"
         if self._engine in ("auto", "mxu"):
             from ..ops import scan_mxu
             built = scan_mxu.build_planes(self.tables.delta,
                                           self.tables.nb_outputs)
             if built is not None:
                 planes, cbits, n_planes, S_pad = built
-                on_tpu = jax.default_backend() != "cpu"
                 flops_ok = S_pad * n_planes * self.V <= 512 * 3 * 32
                 if self._engine == "mxu" or (on_tpu and flops_ok):
                     self._mxu = (jax.device_put(planes, self._repl),
@@ -460,6 +563,25 @@ class ShardedScanner:
                     "automaton too large for the MXU engine (padded states "
                     "or digit planes over the ops/scan_mxu.py limits); use "
                     "engine='gather'")
+        # Hybrid gather+MXU dual-issue count (ops/scan_hybrid.py): mesh
+        # parity with DenseScanner — mid-size automata on TPU, needs the
+        # packed stepped table for the gather half.
+        self._hybrid = None
+        if (self._mxu is None and st is not None and st.packed is not None
+                and self._engine in ("auto", "hybrid")):
+            from ..ops import scan_hybrid, scan_mxu
+            built = scan_mxu.build_planes(
+                self.tables.delta, self.tables.nb_outputs,
+                max_states=scan_hybrid.MAX_HYBRID_STATES)
+            if built is not None and (self._engine == "hybrid" or on_tpu):
+                planes, cbits, n_planes, S_pad = built
+                self._hybrid = (jax.device_put(planes, self._repl),
+                                cbits, n_planes, S_pad)
+            if self._hybrid is None and self._engine == "hybrid":
+                raise ValueError(
+                    "automaton too large for the hybrid engine (padded "
+                    "states over ops/scan_hybrid.MAX_HYBRID_STATES, or no "
+                    "packed stepped table); use engine='gather'")
 
     def refresh(self) -> bool:
         """Catch the replicated device snapshot up with the machine's
@@ -521,6 +643,10 @@ class ShardedScanner:
         ids = self.encode(signs)
         if len(ids) == 0:
             return 0
+        if self._prefilter != "off":
+            n = self._sparse_count(ids, head)
+            if n is not None:
+                return n
         placed, _ = self._pad_and_place(ids)
         self._guard_acc(placed.shape[0])
         if self._mxu is not None:
@@ -530,6 +656,15 @@ class ShardedScanner:
                 self._n_streams_per_device, self.axis_name)
             per_stream = fn(planes, placed,
                             head=self._head_arr(head, self.halo))
+        elif self._hybrid is not None:
+            planes, cbm, n_planes, S_pad = self._hybrid
+            st = self._stepped
+            fn = make_sharded_hybrid_count(
+                self.mesh, st.V, st.k, st.Vk, st.count_bits,
+                self._halo_steps, S_pad, n_planes, cbm,
+                self._n_streams_per_device, self.axis_name)
+            per_stream = fn(self._st_packed, planes, placed,
+                            head=self._head_arr(head, self._halo_sym))
         elif self._stepped is not None:
             per_stream = self._stepped_count(
                 self._st_packed, placed,
@@ -540,6 +675,61 @@ class ShardedScanner:
         # int64 grand total on host (two-level reduction: int32 per stream
         # on device, exact combine here — no 2^31 mesh-wide cap).
         return int(np.asarray(per_stream).sum(dtype=np.int64))
+
+    def _sparse_count(self, ids: np.ndarray, head) -> Optional[int]:
+        """Sharded filter-then-verify count: the host bandwidth pass marks
+        live L_blk-symbol blocks PER SHARD; each device gathers and scans
+        only its own live windows (make_sharded_sparse_count), with the
+        cross-shard halo on the ppermute handoff. Returns None when not
+        profitable ("auto" with more than half the blocks live) or not
+        applicable, falling through to the dense mesh kernels — the mesh
+        sibling of DenseScanner._sparse_count."""
+        from ..ops import sparse
+        st = self._stepped
+        use_stepped = (self._mxu is None and st is not None
+                       and st.packed is not None)
+        k = st.k if use_stepped else 1
+        halo = self._halo_sym if use_stepped else self.halo
+        L_blk = 128 * k
+        if halo > L_blk:
+            return None
+        T = len(ids)
+        nB_real = -(-T // L_blk)
+        # per-shard block grid, pow2-bucketed so steady sizes reuse kernels
+        nB_min = max(1, -(-T // (self.n_dev * L_blk)))
+        nB_loc = 1 << (nB_min - 1).bit_length()
+        Tp = self.n_dev * nB_loc * L_blk
+        if Tp != T:
+            ids = np.concatenate([ids, np.zeros(Tp - T, np.int32)])
+        live = sparse.live_blocks(ids, L_blk).reshape(self.n_dev, nB_loc)
+        n_live = live.sum(axis=1)
+        total_live = int(n_live.sum())
+        self.stats["sparse_live_frac"] = total_live / max(nB_real, 1)
+        if total_live == 0:
+            return 0  # all-OOV: nothing can match, no device launch
+        if self._prefilter == "auto" and total_live * 2 > nB_real:
+            return None
+        cap = max(8, 1 << (int(n_live.max()) - 1).bit_length())
+        idx = np.full((self.n_dev, cap), nB_loc, np.int32)  # pad -> spare
+        for d in range(self.n_dev):
+            w = np.flatnonzero(live[d])
+            idx[d, :len(w)] = w
+        placed_ids = jax.device_put(np.ascontiguousarray(ids), self._shard)
+        placed_idx = jax.device_put(idx.reshape(-1), self._shard)
+        head_arr = self._head_arr(head, halo)
+        if use_stepped:
+            fn = make_sharded_sparse_count(
+                self.mesh, st.V, st.k, st.Vk, st.count_bits,
+                self._halo_steps, L_blk, nB_loc, cap, True, self.axis_name)
+            per = fn(self._st_packed, self._nb_out, placed_ids, placed_idx,
+                     head=head_arr)
+        else:
+            fn = make_sharded_sparse_count(
+                self.mesh, self.V, 1, self.V, 0, self.halo, L_blk, nB_loc,
+                cap, False, self.axis_name)
+            per = fn(self._dflat, self._nb_out, placed_ids, placed_idx,
+                     head=head_arr)
+        return int(np.asarray(per).sum(dtype=np.int64))
 
     def scan_states(self, signs, head=None) -> np.ndarray:
         ids = self.encode(signs)
