@@ -20,6 +20,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <thread>
@@ -29,6 +30,84 @@ namespace {
 
 constexpr int32_t kRoot = 0;
 constexpr int32_t kNoState = -1;
+
+// ---- lock-free reader primitives ----------------------------------------
+// The match path (acx_match / acx_match_bulk / acx_get_match_state) runs
+// WITHOUT the machine lock, restoring the reference's non-blocking
+// concurrent insert+scan property (reference README.md:364). Readers never
+// touch the writer's canonical structures; they read a published shadow
+// (pub_* arrays + the shared edge table, bounds-checked against pub_n)
+// that writers advance only at the end of each locked mutation. Retired
+// allocations (edge-table rehashes, shadow-array growth) are kept on a
+// graveyard and freed only when no reader is in flight.
+
+template <typename T>
+static inline T ld_acq(const T* p) {
+  return __atomic_load_n(p, __ATOMIC_ACQUIRE);
+}
+template <typename T>
+static inline T ld_sc(const T* p) {
+  return __atomic_load_n(p, __ATOMIC_SEQ_CST);
+}
+template <typename T>
+static inline void st_rel(T* p, T v) {
+  __atomic_store_n(p, v, __ATOMIC_RELEASE);
+}
+template <typename T>
+static inline void st_sc(T* p, T v) {
+  __atomic_store_n(p, v, __ATOMIC_SEQ_CST);
+}
+
+struct Graveyard {
+  std::vector<void*> pending;
+  void retire(void* p) {
+    if (p) pending.push_back(p);
+  }
+  void drain() {
+    for (void* p : pending) free(p);
+    pending.clear();
+  }
+  ~Graveyard() { drain(); }
+};
+
+// Published shadow array: the buffer pointer is seq_cst-published so a
+// reader holding an old pointer keeps a valid (graveyard-retained)
+// allocation; element visibility is governed by pub_n (see
+// Machine::publish_locked).
+template <typename T>
+struct PubArr {
+  T* buf = nullptr;
+  size_t cap = 0;
+
+  // Grow, preserving the first n_keep published elements.
+  void grow_keep(size_t need, size_t n_keep, Graveyard* gy) {
+    if (need <= cap) return;
+    size_t nc = cap ? cap : 1024;
+    while (nc < need) nc <<= 1;
+    T* nb = static_cast<T*>(malloc(nc * sizeof(T)));
+    if (buf) {
+      std::memcpy(nb, buf, n_keep * sizeof(T));
+      gy->retire(buf);
+    }
+    st_sc(&buf, nb);
+    cap = nc;
+  }
+
+  // Full republish: allocate fresh (caller fills all entries, then
+  // commit() swaps it in).
+  T* fresh(size_t need) {
+    size_t nc = cap ? cap : 1024;
+    while (nc < need) nc <<= 1;
+    return static_cast<T*>(malloc(nc * sizeof(T)));
+  }
+  void commit(T* nb, size_t need, Graveyard* gy) {
+    size_t nc = cap ? cap : 1024;
+    while (nc < need) nc <<= 1;
+    gy->retire(buf);
+    st_sc(&buf, nb);
+    cap = nc;
+  }
+};
 // All trie edges live in ONE open-addressing hash table keyed by
 // (state, letter) — no per-state containers, no per-edge allocations.
 // Profiling showed per-state sorted vectors cost ~1us/char in allocator
@@ -49,63 +128,107 @@ inline uint64_t mix64(uint64_t x) {  // splitmix64 finalizer
   return x ^ (x >> 31);
 }
 
-struct EdgeMap {
-  // 16-byte key+value slots: one cache line touch per probe (split key/val
-  // arrays cost a second miss per lookup — measurable on multi-million-
-  // state builds).
-  void prefetch(int32_t state, int32_t letter) const;
-  struct Slot {
-    uint64_t key;
-    int32_t val;
-    int32_t pad;
-  };
-  std::vector<Slot> slots;
-  size_t count = 0;
-  size_t mask = 0;
+// 16-byte key+value slots: one cache line touch per probe (split key/val
+// arrays cost a second miss per lookup — measurable on multi-million-
+// state builds).
+struct Slot {
+  uint64_t key;
+  int32_t val;
+  int32_t pad;
+};
 
-  EdgeMap() { rehash(1 << 16); }
+struct EdgeTable {
+  size_t mask;
+  Slot slots[];  // flexible array member (GNU extension, g++/clang)
+};
+
+struct EdgeMap {
+  EdgeTable* cur = nullptr;  // writer view; == pub except mid-rehash
+  EdgeTable* pub = nullptr;  // lock-free readers seq_cst-load this
+  size_t count = 0;
+  Graveyard* gy = nullptr;
+
+  void init(Graveyard* g) {
+    gy = g;
+    rehash(1 << 16);
+  }
+
+  static EdgeTable* alloc(size_t cap) {
+    EdgeTable* t = static_cast<EdgeTable*>(
+        malloc(sizeof(EdgeTable) + cap * sizeof(Slot)));
+    t->mask = cap - 1;
+    for (size_t i = 0; i < cap; ++i) t->slots[i] = Slot{kEmptyKey, 0, 0};
+    return t;
+  }
 
   void rehash(size_t cap) {
-    std::vector<Slot> old = std::move(slots);
-    slots.assign(cap, Slot{kEmptyKey, 0, 0});
-    mask = cap - 1;
-    for (const Slot& s : old) {
-      if (s.key == kEmptyKey) continue;
-      size_t j = mix64(s.key) & mask;
-      while (slots[j].key != kEmptyKey) j = (j + 1) & mask;
-      slots[j] = s;
+    EdgeTable* nt = alloc(cap);
+    if (cur) {
+      for (size_t i = 0; i <= cur->mask; ++i) {
+        const Slot& s = cur->slots[i];
+        if (s.key == kEmptyKey) continue;
+        size_t j = mix64(s.key) & nt->mask;
+        while (nt->slots[j].key != kEmptyKey) j = (j + 1) & nt->mask;
+        nt->slots[j] = s;
+      }
+      gy->retire(cur);
     }
+    cur = nt;
+    st_sc(&pub, nt);  // readers switch; the old table stays on the graveyard
   }
 
   int32_t find(int32_t state, int32_t letter) const {
     uint64_t k = edge_key(state, letter);
-    size_t j = mix64(k) & mask;
+    size_t j = mix64(k) & cur->mask;
     for (;;) {
-      const Slot& s = slots[j];
+      const Slot& s = cur->slots[j];
       if (s.key == k) return s.val;
       if (s.key == kEmptyKey) return -1;
-      j = (j + 1) & mask;
+      j = (j + 1) & cur->mask;
     }
   }
 
   void insert(int32_t state, int32_t letter, int32_t child) {
-    if ((count + 1) * 10 >= (mask + 1) * 7) rehash((mask + 1) * 2);
+    if ((count + 1) * 10 >= (cur->mask + 1) * 7) rehash((cur->mask + 1) * 2);
     uint64_t k = edge_key(state, letter);
-    size_t j = mix64(k) & mask;
-    while (slots[j].key != kEmptyKey) j = (j + 1) & mask;
-    slots[j] = Slot{k, child, 0};
+    size_t j = mix64(k) & cur->mask;
+    while (cur->slots[j].key != kEmptyKey) j = (j + 1) & cur->mask;
+    // Value first, then the key with release: a concurrent reader that
+    // observes the key also observes the value (and, because enter_child
+    // publishes the edge last, the child's canonical fields — though
+    // readers only consult the pub_* shadow, bounds-checked by pub_n).
+    cur->slots[j].val = child;
+    st_rel(&cur->slots[j].key, k);
     ++count;
   }
 
   void reserve_edges(size_t n) {
     size_t need = 1;
     while (need * 7 < (n + count) * 10) need <<= 1;
-    if (need > mask + 1) rehash(need);
+    if (need > cur->mask + 1) rehash(need);
+  }
+
+  void prefetch(int32_t state, int32_t letter) const {
+    __builtin_prefetch(&cur->slots[mix64(edge_key(state, letter)) &
+                                   cur->mask]);
   }
 };
 
-inline void EdgeMap::prefetch(int32_t state, int32_t letter) const {
-  __builtin_prefetch(&slots[mix64(edge_key(state, letter)) & mask]);
+// Reader-side probe over a published table snapshot. Open addressing never
+// moves a slot in place, so a concurrent writer append is observed either
+// fully (release-stored key, value written before) or not at all; probe
+// chains stay terminated because the writer rehashes (into a NEW table)
+// before the load factor can exhaust empty slots.
+static inline int32_t table_find(const EdgeTable* t, int32_t state,
+                                 int32_t letter) {
+  uint64_t k = edge_key(state, letter);
+  size_t j = mix64(k) & t->mask;
+  for (;;) {
+    uint64_t key = ld_acq(&t->slots[j].key);
+    if (key == k) return t->slots[j].val;
+    if (key == kEmptyKey) return kNoState;
+    j = (j + 1) & t->mask;
+  }
 }
 
 struct Machine {
@@ -127,19 +250,101 @@ struct Machine {
   std::vector<int32_t> if_next;
   std::vector<int32_t> if_prev;
   int64_t nb_sequences = 0;
-  int64_t reconstruct = 0;  // AC75 dirty counter (ref c:70)
+  int64_t reconstruct = 0;  // AC75 dirty counter (ref c:70); atomic access
   int64_t version = 0;
   int32_t max_letter = 0;
   std::mutex token;  // ref machine->token (c:81)
   // Concurrency model: the reference leaves its match path lock-free
-  // (README.md:364), which is safe there only because its trie nodes are
-  // individually allocated and pointer-stable. Here the edge hash REHASHES
-  // (memory moves), so lock-free readers would crash — matchers therefore
-  // take the machine lock too. Uncontended lock cost is ~20ns per call
-  // (bulk match amortizes it over the whole stream); the TPU scan path
-  // never touches this lock at all (immutable snapshots).
+  // (README.md:364). Its trie nodes are individually allocated and
+  // pointer-stable, so unsynchronized readers there can chase pointers
+  // safely; here the edge hash rehashes and the SoA arrays grow (memory
+  // moves). Matchers therefore read a PUBLISHED SHADOW instead of the
+  // writer's canonical structures:
+  //   * fail_pub / nb_pub / ie_pub mirror fail / nb_outputs / is_end in
+  //     graveyard-retained buffers;
+  //   * pub_n bounds what a reader may dereference — states and edge
+  //     targets >= pub_n are treated as absent (an in-flight insertion is
+  //     simply not visible yet, the reference's own semantics for
+  //     registration during scan, README.md:352-356);
+  //   * writers mutate canonical state under the lock and call
+  //     publish_locked() once per API mutation; ordering inside
+  //     publish_locked makes visibility monotone — a keyword fully
+  //     inserted before a match call begins is always counted, and
+  //     readers can never crash or fail to terminate.
+  // Retired allocations are freed when no reader is in flight (`readers`).
+  Graveyard gy;             // owns retired buffers until quiescence
+  PubArr<int32_t> fail_pub;
+  PubArr<int64_t> nb_pub;
+  PubArr<uint8_t> ie_pub;
+  int64_t pub_n = 0;        // release-stored; readers acquire
+  int64_t readers = 0;      // active lock-free matcher calls (seq_cst)
+  std::vector<int32_t> touched;  // states mutated in place since publish
 
-  explicit Machine(bool inc) : incremental(inc) { new_state(); }
+  explicit Machine(bool inc) : incremental(inc) {
+    edges.init(&gy);
+    new_state();
+    publish_locked(false);  // ctor is single-threaded; root becomes visible
+  }
+
+  ~Machine() {
+    free(edges.cur);  // == edges.pub at quiescence
+    free(fail_pub.buf);
+    free(nb_pub.buf);
+    free(ie_pub.buf);
+  }
+
+  // Publish the reader shadow; caller holds the lock (or is the ctor).
+  // Ordering contract (all against readers that run without the lock):
+  //   1. appended states' fields are plain-stored BEFORE pub_n is
+  //      release-stored — a reader that passes the pub_n bounds check
+  //      sees initialized fields;
+  //   2. in-place changes to already-published states (Meyer fail
+  //      rewires, output-count bumps, end flags) are release-stored
+  //      AFTER pub_n — a reader that observes a rewire pointing at a new
+  //      state will, after refreshing its view, find pub_n already
+  //      covering that state (never a dangling target);
+  //   3. within (2), is_end before nb_outputs — a reader that sees a
+  //      state's count include a new keyword also finds the end flag the
+  //      fail-chain walk needs (acx_get_match_state).
+  // full=true re-publishes everything into FRESH buffers (bulk insert,
+  // restore, AC75 BFS reconstruction — paths that rewrite already-
+  // published entries wholesale); readers then see either the complete
+  // old automaton or the complete new one, never a mixture.
+  void publish_locked(bool full) {
+    size_t S = n_states_;
+    size_t old_n = static_cast<size_t>(pub_n);
+    if (full) {
+      int32_t* f = fail_pub.fresh(S);
+      int64_t* nb = nb_pub.fresh(S);
+      uint8_t* ie = ie_pub.fresh(S);
+      for (size_t s = 0; s < S; ++s) {
+        f[s] = (fail[s] == kNoState) ? kRoot : fail[s];
+        nb[s] = nb_outputs[s];
+        ie[s] = is_end[s];
+      }
+      fail_pub.commit(f, S, &gy);
+      nb_pub.commit(nb, S, &gy);
+      ie_pub.commit(ie, S, &gy);
+      st_rel(&pub_n, static_cast<int64_t>(S));
+    } else {
+      fail_pub.grow_keep(S, old_n, &gy);
+      nb_pub.grow_keep(S, old_n, &gy);
+      ie_pub.grow_keep(S, old_n, &gy);
+      for (size_t s = old_n; s < S; ++s) {
+        fail_pub.buf[s] = (fail[s] == kNoState) ? kRoot : fail[s];
+        nb_pub.buf[s] = nb_outputs[s];
+        ie_pub.buf[s] = is_end[s];
+      }
+      st_rel(&pub_n, static_cast<int64_t>(S));
+      for (int32_t s : touched) st_rel(&ie_pub.buf[s], is_end[s]);
+      for (int32_t s : touched)
+        st_rel(&fail_pub.buf[s],
+               (fail[s] == kNoState) ? kRoot : fail[s]);
+      for (int32_t s : touched) st_rel(&nb_pub.buf[s], nb_outputs[s]);
+    }
+    touched.clear();
+    if (ld_sc(&readers) == 0) gy.drain();
+  }
 
   int32_t new_state() {
     int32_t s = static_cast<int32_t>(n_states_++);
@@ -203,6 +408,7 @@ struct Machine {
       if (xprime != kNoState) {
         if_remove(fail[xprime], xprime);
         fail[xprime] = nprime;
+        touched.push_back(xprime);  // published after pub_n covers nprime
         if_add(nprime, xprime);
       } else {
         for (int32_t y = if_head[x]; y != kNoState; y = if_next[y])
@@ -231,13 +437,16 @@ struct Machine {
     int32_t nxt = edges.find(state, letter);
     if (nxt != kNoState) return nxt;
     std::vector<int32_t> scratch;
-    return enter_child(state, letter, scratch);
+    nxt = enter_child(state, letter, scratch);
+    publish_locked(false);
+    return nxt;
   }
 
   // ref enter_output (c:330-338): Meyer propagates over the IF closure.
   void enter_output(int32_t n, std::vector<int32_t>& stack) {
     if (!incremental) {
       nb_outputs[n] += 1;
+      touched.push_back(n);
       return;
     }
     stack.assign(1, n);
@@ -245,6 +454,7 @@ struct Machine {
       int32_t s = stack.back();
       stack.pop_back();
       nb_outputs[s] += 1;
+      touched.push_back(s);
       for (int32_t y = if_head[s]; y != kNoState; y = if_next[y])
         stack.push_back(y);
     }
@@ -258,8 +468,10 @@ struct Machine {
     std::vector<int32_t> stack;
     enter_output(state, stack);
     is_end[state] = 1;
+    touched.push_back(state);
     kw_rank[state] = nb_sequences++;
-    ++reconstruct;
+    __atomic_fetch_add(&reconstruct, int64_t{1}, __ATOMIC_RELAXED);
+    publish_locked(false);
     return 1;
   }
 
@@ -315,13 +527,13 @@ struct Machine {
       for (size_t s = 1; s < S; ++s)
         if_add(fail[s], static_cast<int32_t>(s));
     }
-    reconstruct = 0;
+    st_rel(&reconstruct, int64_t{0});
   }
 
   // ref state_fail_state_construct (c:386-417); BFS == depth order here.
   // Caller must hold the lock.
   void ensure_fail_states_locked() {
-    if (incremental || !reconstruct) return;
+    if (incremental || !ld_acq(&reconstruct)) return;
     std::vector<int32_t> order;
     depth_order(order);
     for (int32_t s : order) {
@@ -329,15 +541,82 @@ struct Machine {
       nb_outputs[s] = is_end[s] ? 1 : 0;  // re-entrant reset (ref c:381)
       complete_fail_state(prev_state[s], s, prev_letter[s]);
     }
-    reconstruct = 0;
+    st_rel(&reconstruct, int64_t{0});
+    publish_locked(true);  // the BFS rewrote published entries wholesale
   }
 
   void ensure_fail_states() {
-    if (incremental || !reconstruct) return;  // double-checked (ref c:389)
+    // Double-checked (ref c:389-394). `incremental` is read atomically:
+    // the deferred-bulk path flips it briefly under the lock, and a
+    // matcher observing that window simply serializes behind the batch.
+    if (ld_acq(&incremental) || !ld_acq(&reconstruct)) return;
     std::lock_guard<std::mutex> lock(token);
     ensure_fail_states_locked();
   }
 };
+
+// ---- lock-free matcher path ---------------------------------------------
+
+// Counts a matcher in flight so writers keep retired buffers alive.
+struct ReaderScope {
+  Machine* m;
+  explicit ReaderScope(Machine* mm) : m(mm) {
+    __atomic_fetch_add(&m->readers, int64_t{1}, __ATOMIC_SEQ_CST);
+  }
+  ~ReaderScope() {
+    __atomic_fetch_sub(&m->readers, int64_t{1}, __ATOMIC_SEQ_CST);
+  }
+};
+
+struct RView {
+  const EdgeTable* t;
+  const int32_t* fail;
+  const int64_t* nb;
+  const uint8_t* ie;
+  int64_t n;
+};
+
+// pub_n FIRST, pointers after: buffers only grow, so a pointer at least
+// as new as the bound can always be indexed up to the bound.
+static inline void view_load(const Machine* m, RView* v) {
+  v->n = ld_acq(&m->pub_n);
+  v->t = ld_sc(&m->edges.pub);
+  v->fail = ld_sc(&m->fail_pub.buf);
+  v->nb = ld_sc(&m->nb_pub.buf);
+  v->ie = ld_sc(&m->ie_pub.buf);
+}
+
+// Follow the published fail link; targets outside the view trigger one
+// refresh (the publish ordering guarantees the refreshed bound covers any
+// observed rewire target), then fall back to root — crash-free under any
+// interleaving, and each step strictly decreases depth, so walks
+// terminate.
+static inline int32_t view_fail(const Machine* m, RView* v, int32_t state) {
+  int32_t f = ld_acq(&v->fail[state]);
+  if (f < 0 || f >= v->n) {
+    view_load(m, v);
+    f = ld_acq(&v->fail[state]);
+    if (f < 0 || f >= v->n) f = kRoot;
+  }
+  return f;
+}
+
+// ref state_goto (c:167-192) over the published shadow, root LOOP_0
+// simulated; edge targets not yet covered by pub_n are treated as absent
+// (the in-flight insertion is not visible yet, README.md:352-356).
+static int32_t view_goto(const Machine* m, RView* v, int32_t state,
+                         int32_t letter) {
+  for (;;) {
+    int32_t nxt = table_find(v->t, state, letter);
+    if (nxt != kNoState && nxt >= v->n) {
+      view_load(m, v);
+      if (nxt >= v->n) nxt = kNoState;
+    }
+    if (nxt != kNoState) return nxt;
+    if (state == kRoot) return kRoot;
+    state = view_fail(m, v, state);
+  }
+}
 
 }  // namespace
 
@@ -365,7 +644,7 @@ void acx_insert_keywords(Machine* m, const int32_t* letters,
   // Large Meyer batches: skip per-edge incremental fail maintenance and
   // rebuild everything once at the end (identical result, far cheaper).
   bool deferred = m->incremental && offsets[n_keywords] > 4096;
-  if (deferred) m->incremental = false;
+  if (deferred) st_rel(&m->incremental, false);
   m->edges.reserve_edges(static_cast<size_t>(offsets[n_keywords]));
   size_t reserve_states = m->n_states_ + offsets[n_keywords];
   m->fail.reserve(reserve_states);
@@ -439,8 +718,9 @@ void acx_insert_keywords(Machine* m, const int32_t* letters,
       if (state != kRoot && !m->is_end[state]) {
         m->enter_output(state, stack);
         m->is_end[state] = 1;
+        m->touched.push_back(state);
         m->kw_rank[state] = m->nb_sequences++;
-        ++m->reconstruct;
+        __atomic_fetch_add(&m->reconstruct, int64_t{1}, __ATOMIC_RELAXED);
         fresh = 1;
       }
       if (end_states) end_states[i] = state;
@@ -448,9 +728,13 @@ void acx_insert_keywords(Machine* m, const int32_t* letters,
     }
   }
   if (deferred) {
-    m->incremental = true;
+    st_rel(&m->incremental, true);
     m->rebuild_all();
   }
+  // One publish for the whole batch: lock-free matchers see the pre-batch
+  // automaton until here, then the complete post-batch one. The deferred
+  // rebuild rewrote published entries, so it must republish in full.
+  m->publish_locked(deferred);
 }
 
 // Creation-order edge replay (checkpoint restore, utils/checkpoint.py):
@@ -469,7 +753,7 @@ int64_t acx_restore_machine(Machine* m, const int32_t* prev_state,
                             int64_t S) {
   std::lock_guard<std::mutex> lock(m->token);
   bool was_inc = m->incremental;
-  m->incremental = false;  // skip per-edge fail/IF maintenance entirely
+  st_rel(&m->incremental, false);  // skip per-edge fail/IF maintenance
   m->edges.reserve_edges(static_cast<size_t>(S));
   size_t reserve_states = m->n_states_ + static_cast<size_t>(S);
   m->fail.reserve(reserve_states);
@@ -488,8 +772,9 @@ int64_t acx_restore_machine(Machine* m, const int32_t* prev_state,
     if (nxt == kNoState)
       nxt = m->enter_child(prev_state[s], prev_letter[s], scratch);
     if (nxt != s) {
-      m->incremental = was_inc;
+      st_rel(&m->incremental, was_inc);
       if (was_inc) m->rebuild_all();
+      m->publish_locked(true);
       return s;
     }
   }
@@ -504,36 +789,49 @@ int64_t acx_restore_machine(Machine* m, const int32_t* prev_state,
     m->is_end[s] = 1;
     m->kw_rank[s] = kw_rank[s];
     ++n_seq;
-    ++m->reconstruct;
+    __atomic_fetch_add(&m->reconstruct, int64_t{1}, __ATOMIC_RELAXED);
   }
   m->nb_sequences = n_seq;
-  m->incremental = was_inc;
+  st_rel(&m->incremental, was_inc);
   if (was_inc) m->rebuild_all();  // fail + IF + output counts, one pass
   // AC75 machines leave `reconstruct` dirty: the lazy BFS before the next
   // match recomputes fail/output exactly like a live-built machine.
+  m->publish_locked(true);
   return 0;
 }
 
+// The three matcher entry points are LOCK-FREE (the reference's
+// non-blocking match property, README.md:364): they read the published
+// shadow, never the writer's canonical structures. In AC75 mode a dirty
+// automaton first runs the lazy BFS under the double-checked lock —
+// exactly the reference's acm_match preamble (c:443-446).
+
 int64_t acx_match(Machine* m, int32_t state, int32_t letter,
                   int32_t* next_state) {
-  std::lock_guard<std::mutex> lock(m->token);
-  m->ensure_fail_states_locked();
-  int32_t nxt = m->goto_existing(state, letter);
+  m->ensure_fail_states();
+  ReaderScope scope(m);
+  RView v;
+  view_load(m, &v);
+  if (state < 0 || state >= v.n) state = kRoot;  // stale/foreign cursor
+  int32_t nxt = view_goto(m, &v, state, letter);
   *next_state = nxt;
-  return m->nb_outputs[nxt];
+  return ld_acq(&v.nb[nxt]);
 }
 
 // Streaming bulk match: advances through n letters, returns total match
 // count, leaves the final cursor in *state_io.
 int64_t acx_match_bulk(Machine* m, int32_t* state_io, const int32_t* letters,
                        int64_t n) {
-  std::lock_guard<std::mutex> lock(m->token);
-  m->ensure_fail_states_locked();
+  m->ensure_fail_states();
+  ReaderScope scope(m);
+  RView v;
+  view_load(m, &v);
   int32_t s = *state_io;
+  if (s < 0 || s >= v.n) s = kRoot;
   int64_t total = 0;
   for (int64_t i = 0; i < n; ++i) {
-    s = m->goto_existing(s, letters[i]);
-    total += m->nb_outputs[s];
+    s = view_goto(m, &v, s, letters[i]);
+    total += ld_acq(&v.nb[s]);
   }
   *state_io = s;
   return total;
@@ -541,15 +839,27 @@ int64_t acx_match_bulk(Machine* m, int32_t* state_io, const int32_t* letters,
 
 // ref acm_get_match chain walk (c:457-466); returns the index-th
 // end-of-keyword state along the fail chain (kNoState if out of bounds).
+// Lock-free: under a concurrent insertion the count and the end flags are
+// published together, but a racing reader may transiently observe a count
+// without the flags — the root guards below then return kNoState instead
+// of walking past the root (the reference's unsynchronized walk has the
+// same transient window).
 int32_t acx_get_match_state(Machine* m, int32_t state, int64_t index) {
-  std::lock_guard<std::mutex> lock(m->token);
-  if (index >= m->nb_outputs[state]) return kNoState;
+  m->ensure_fail_states();
+  ReaderScope scope(m);
+  RView v;
+  view_load(m, &v);
+  if (state < 0 || state >= v.n) return kNoState;
+  if (index >= ld_acq(&v.nb[state])) return kNoState;
   int64_t i = 0;
   for (;;) {
-    while (!m->is_end[state]) state = m->fail[state];
+    while (state != kRoot && !ld_acq(&v.ie[state]))
+      state = view_fail(m, &v, state);
+    if (!ld_acq(&v.ie[state])) return kNoState;  // reached root, no end
     if (i == index) return state;
-    state = m->fail[state];
     ++i;
+    if (state == kRoot) return kNoState;
+    state = view_fail(m, &v, state);
   }
 }
 

@@ -5,6 +5,7 @@
  * allocations, so leaks and overruns surface in CI without Python.
  */
 #include <assert.h>
+#include <pthread.h>
 #include <stdint.h>
 #include <stdio.h>
 #include <stdlib.h>
@@ -78,10 +79,117 @@ exercise(int incremental) {
   acx_release(m);
 }
 
+/* Lock-free match vs concurrent insertion (the reference's non-blocking
+ * concurrent insert+scan property, README.md:364). Matcher threads stream
+ * a fixed text while the main thread registers keywords per-letter and in
+ * bulk (large enough to force edge-table rehashes, shadow-array growth,
+ * and the deferred rebuild). In Meyer mode every observed count must lie
+ * in [before, after]: keywords fully inserted before a pass begins are
+ * never missed, and nothing beyond the final dictionary is counted. */
+enum { STRESS_TEXT = 200000, STRESS_PASSES = 60 };
+
+typedef struct {
+  Machine *m;
+  const int32_t *text;
+  int64_t before;
+  int64_t *observed; /* per-pass counts, checked after join */
+} StressArg;
+
+static void *
+stress_matcher(void *argp) {
+  StressArg *a = (StressArg *)argp;
+  for (int p = 0; p < STRESS_PASSES; p++) {
+    int32_t s = 0;
+    int64_t total = acx_match_bulk(a->m, &s, a->text, STRESS_TEXT);
+    a->observed[p] = total;
+    if (total < a->before) /* lost a pre-registered keyword: bug */
+      return (void *)1;
+    /* exercise the lock-free fail-chain walk on the final cursor */
+    (void)acx_get_match_state(a->m, s, 0);
+  }
+  return (void *)0;
+}
+
+static void
+stress_concurrent(void) {
+  enum { NTHREADS = 4, ALPHA = 4, PRE = 200, ONLINE = 800, BULK = 12000 };
+  Machine *m = acx_create(1);
+  srand(7);
+  int32_t *text = malloc(STRESS_TEXT * sizeof(int32_t));
+  for (int i = 0; i < STRESS_TEXT; i++)
+    text[i] = 1 + rand() % ALPHA;
+
+  int32_t kw[8];
+  for (int i = 0; i < PRE; i++) {
+    int len = 2 + rand() % 5;
+    int32_t s = 0;
+    for (int j = 0; j < len; j++) {
+      kw[j] = 1 + rand() % ALPHA;
+      s = acx_insert_letter(m, s, kw[j]);
+    }
+    acx_insert_end(m, s);
+  }
+  int32_t s0 = 0;
+  int64_t before = acx_match_bulk(m, &s0, text, STRESS_TEXT);
+  assert(before > 0);
+
+  pthread_t tids[NTHREADS];
+  StressArg args[NTHREADS];
+  int64_t *obs = calloc((size_t)NTHREADS * STRESS_PASSES, sizeof(int64_t));
+  for (int t = 0; t < NTHREADS; t++) {
+    args[t].m = m;
+    args[t].text = text;
+    args[t].before = before;
+    args[t].observed = obs + (size_t)t * STRESS_PASSES;
+    int rc = pthread_create(&tids[t], 0, stress_matcher, &args[t]);
+    assert(rc == 0);
+  }
+
+  /* concurrent registration: per-letter (Meyer per-edge maintenance) ... */
+  for (int i = 0; i < ONLINE; i++) {
+    int len = 2 + rand() % 6;
+    int32_t s = 0;
+    for (int j = 0; j < len; j++)
+      s = acx_insert_letter(m, s, 1 + rand() % ALPHA);
+    acx_insert_end(m, s);
+  }
+  /* ... and one bulk batch big enough for the deferred rebuild + rehash */
+  int32_t *letters = malloc((size_t)BULK * 5 * sizeof(int32_t));
+  int64_t *offsets = malloc(((size_t)BULK + 1) * sizeof(int64_t));
+  for (int i = 0; i < BULK * 5; i++)
+    letters[i] = 1 + rand() % 26; /* wider alphabet: grows the trie */
+  for (int i = 0; i <= BULK; i++)
+    offsets[i] = (int64_t)i * 5;
+  acx_insert_keywords(m, letters, offsets, BULK, 0, 0);
+
+  for (int t = 0; t < NTHREADS; t++) {
+    void *ret;
+    pthread_join(tids[t], &ret);
+    assert(ret == 0 && "matcher lost a pre-registered keyword");
+  }
+  int32_t s1 = 0;
+  int64_t after = acx_match_bulk(m, &s1, text, STRESS_TEXT);
+  assert(after >= before);
+  for (int t = 0; t < NTHREADS; t++)
+    for (int p = 0; p < STRESS_PASSES; p++) {
+      int64_t got = obs[(size_t)t * STRESS_PASSES + p];
+      assert(got >= before && got <= after);
+    }
+  printf("concurrent stress: before=%lld after=%lld (%d passes x %d "
+         "threads)\n",
+         (long long)before, (long long)after, STRESS_PASSES, NTHREADS);
+  free(obs);
+  free(letters);
+  free(offsets);
+  free(text);
+  acx_release(m);
+}
+
 int
 main(void) {
   exercise(1);
   exercise(0);
+  stress_concurrent();
   /* bulk path large enough to trigger the deferred rebuild */
   Machine *m = acx_create(1);
   enum { N = 2000, K = 5 };

@@ -5,8 +5,10 @@ match path lock-free, advertising concurrent insert + scan in Meyer mode
 (README.md:364, 266). Equivalent guarantees here:
 
 * insertion is serialized by the backend lock (C++ std::mutex / Python RLock);
-* host streaming match is lock-free in steady state; while a *deferred bulk*
-  insert is rebuilding, matchers take the lock (native core);
+* the native host match path is LOCK-FREE, like the reference's: matchers
+  read a published shadow of the automaton and never block on inserters
+  (acx.cpp "lock-free reader primitives"; memory-ordering stress runs under
+  ASan/TSan via `make -C aho_corasick_1975_tpu/native tsan-test`);
 * the TPU path is race-free by construction: scanners pin immutable
   snapshots (tested in test_meyer_equivalence.py).
 """
@@ -93,6 +95,51 @@ def test_concurrent_insert_and_match_meyer():
     stop.set()
     ti.join()
     assert not errors
+
+
+def test_lockfree_bulk_match_is_monotone_under_insertion():
+    """The lock-free guarantee, observably: match_bulk passes running
+    concurrently with per-letter and bulk insertion always count at least
+    every keyword registered before the stress began (the published-shadow
+    monotonicity contract) and never more than the final dictionary."""
+    import numpy as np
+
+    m = ac.Machine(backend="native", incremental=True)
+    rng = random.Random(3)
+    for _ in range(100):
+        m.insert_keyword("".join(rng.choice("abcd")
+                                 for _ in range(rng.randint(2, 5))))
+    text = "".join(rng.choice("abcd") for _ in range(40000))
+    ids = m.vocab.lookup_many(text)
+    _, before = m._b.match_bulk(0, ids)
+    assert before > 0
+    counts, errors = [], []
+
+    def matcher():
+        try:
+            for _ in range(40):
+                _, total = m._b.match_bulk(0, ids)
+                counts.append(total)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=matcher) for _ in range(3)]
+    for t in threads:
+        t.start()
+    # concurrent registration: per-letter, then one deferred bulk batch
+    for _ in range(150):
+        m.insert_keyword("".join(rng.choice("abcd")
+                                 for _ in range(rng.randint(2, 6))))
+    kws = np.array([[1 + rng.randrange(4) for _ in range(5)]
+                    for _ in range(1500)], dtype=np.int32)
+    m._b.insert_keywords_bulk(
+        kws.reshape(-1), np.arange(1501, dtype=np.int64) * 5)
+    for t in threads:
+        t.join()
+    assert not errors
+    _, after = m._b.match_bulk(0, ids)
+    assert after >= before
+    assert all(before <= c <= after for c in counts)
 
 
 def test_snapshot_scan_is_isolated_from_bulk_insert():
