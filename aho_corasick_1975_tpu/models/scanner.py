@@ -921,6 +921,12 @@ class DenseScanner:
         if len(signs) == 0:
             return []
         t0 = time.perf_counter()
+        if self._prefilter != "off":
+            out = self._sparse_hits(signs, offset, head, int(max_hits))
+            if out is not None:
+                self._record("find_matches_sparse", len(signs),
+                             time.perf_counter() - t0)
+                return out
         raw = self._raw_stream(signs)
         with self._dispatch:
             if raw is not None:
@@ -954,6 +960,72 @@ class DenseScanner:
             positions[order], sts[order], self.tables, offset)
         self._record("find_matches_device", T, time.perf_counter() - t0)
         return MatchSet(self.machine, self.tables, ends, end_states, idx)
+
+    def _sparse_hits(self, signs, offset, head, max_hits):
+        """Filter-then-extract match retrieval (the sparse companion of
+        _sparse_count): the host bandwidth pass marks live blocks, the
+        device scans only their halo windows and returns bounded hit
+        positions (ops/sparse.make_sparse_hits). Returns None when not
+        profitable or not applicable — caller falls through to the dense
+        bounded-hits kernel. Uses the dense-table halo (per-position
+        states are required, so the packed k-gram core does not apply)."""
+        from ..ops import sparse
+        halo = self.halo
+        L_blk = 128
+        if halo > L_blk:
+            return None
+        ids = self.encode(signs)
+        T = len(ids)
+        nB_real = -(-T // L_blk)
+        live = sparse.live_blocks(ids, L_blk)
+        n_live = int(live.sum())
+        self.stats["sparse_live_frac"] = n_live / nB_real
+        if n_live == 0:
+            from .results import MatchSet
+            e = np.zeros(0, np.int64)
+            return MatchSet(self.machine, self.tables, e,
+                            np.zeros(0, np.int32), np.zeros(0, np.int32))
+        if self._prefilter == "auto" and n_live * 2 > nB_real:
+            return None
+        nB = 1 << (nB_real - 1).bit_length()
+        cap = max(8, 1 << (n_live - 1).bit_length())
+        n_ext = halo + (nB + 1) * L_blk
+        with self._dispatch:
+            key = ("sparse", n_ext)
+            buf = self._ext_bufs.get(key) if self._reuse_buf else None
+            if buf is None:
+                buf = np.zeros(n_ext, np.int32)
+                if self._reuse_buf:
+                    self._ext_bufs[key] = buf
+            buf[:halo] = 0
+            if head is not None and len(head) and halo:
+                h = min(len(head), halo)
+                buf[halo - h:halo] = head[-h:]
+            buf[halo:halo + T] = ids
+            buf[halo + T:] = 0
+            idx = np.full(cap, nB, np.int32)
+            idx[:n_live] = np.flatnonzero(live)
+            fn = sparse.make_sparse_hits(self.V, halo, L_blk, nB, cap,
+                                         max_hits)
+            positions, sts, n_hits, n_hit_pos = fn(
+                self._dflat, self._nb_out, jnp.asarray(buf),
+                jnp.asarray(idx))
+            n_hit_pos = int(n_hit_pos)
+            positions = np.asarray(positions)
+            sts = np.asarray(sts)
+        keep = (positions >= 0) & (positions < T)
+        positions, sts = positions[keep], sts[keep]
+        if n_hit_pos > max_hits:
+            raise ValueError(
+                f"{n_hit_pos} matching positions exceed max_hits="
+                f"{max_hits}; raise max_hits or chunk the stream with a "
+                "session")
+        from ..ops.decode import expand_hits_arrays
+        from .results import MatchSet
+        ends, end_states, idx_out = expand_hits_arrays(
+            positions, sts, self.tables, offset)
+        return MatchSet(self.machine, self.tables, ends, end_states,
+                        idx_out)
 
     def _record(self, op: str, n_symbols: int, seconds: float) -> None:
         self.stats["last_op"] = op

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["live_blocks", "make_sparse_count", "make_sparse_count_stepped",
-           "make_sparse_count_mxu"]
+           "make_sparse_count_mxu", "make_sparse_hits"]
 
 
 def live_blocks(ids: np.ndarray, L_blk: int) -> np.ndarray:
@@ -101,6 +101,46 @@ def make_sparse_count_mxu(V: int, S_pad: int, count_bits: int,
                               planes, win)
 
     return count
+
+
+@lru_cache(maxsize=None)
+def make_sparse_hits(V: int, halo: int, L_blk: int, nB: int, cap: int,
+                     max_hits: int):
+    """Filter-then-EXTRACT: bounded hit positions/states over the live
+    windows only (the sparse companion of ops/hits.make_blocked_hits).
+    (dflat, nb_out, ext, idx) -> (positions[max_hits] stream-order indices
+    (-1 pad), states[max_hits], n_hits total matches, n_hit_pos matching
+    positions). idx ascending keeps the nonzero output in stream order.
+    Uses the dense delta table: hit extraction needs per-position states,
+    which the packed k-gram and MXU cores do not materialize."""
+    from jax import lax
+
+    @jax.jit
+    def hits(dflat, nb_out, ext, idx):
+        win = _window_gather(ext, idx, nB, L_blk, halo)  # [halo+L_blk, cap]
+        s0 = jnp.zeros((win.shape[1],), dtype=jnp.int32)
+
+        def step(s, c):
+            s2 = dflat[s * V + c]
+            return s2, s2
+
+        _, states_tm = lax.scan(step, s0, win)           # [halo+L_blk, cap]
+        counts = nb_out[states_tm][halo:, :]             # [L_blk, cap]
+        hit_mask = counts > 0
+        n_hits = jnp.sum(counts, dtype=jnp.int32)
+        n_hit_pos = jnp.sum(hit_mask, dtype=jnp.int32)
+        # stream position of window cell (t, col): idx[col]*L_blk + t
+        pos2d = (idx[None, :] * L_blk
+                 + jnp.arange(L_blk, dtype=jnp.int32)[:, None])
+        (flat_idx,) = jnp.nonzero(hit_mask.T.reshape(-1), size=max_hits,
+                                  fill_value=-1)
+        valid = flat_idx >= 0
+        safe = jnp.maximum(flat_idx, 0)
+        positions = jnp.where(valid, pos2d.T.reshape(-1)[safe], -1)
+        sts = jnp.where(valid, states_tm[halo:, :].T.reshape(-1)[safe], 0)
+        return positions, sts, n_hits, n_hit_pos
+
+    return hits
 
 
 # -- device-side block filter (no host pass, no index upload) --------------

@@ -1,0 +1,103 @@
+"""Filter-then-extract match retrieval (ops/sparse.make_sparse_hits):
+the sparse prefilter applied to find_matches(max_hits=...), not just
+count(). Conformance bar: byte-identical MatchSet vs the dense full-decode
+path (which is itself diffed against the compiled reference's event
+stream in test_reference_oracle)."""
+
+import random
+
+import numpy as np
+import pytest
+
+import aho_corasick_1975_tpu as ac
+
+
+def _sparse_corpus(rng, n=1500, p=0.08):
+    parts = []
+    for _ in range(n):
+        parts.append("z" * rng.randint(40, 180))
+        if rng.random() < p:
+            parts.append(rng.choice(["needle", "pin", "hay", "haypin",
+                                     "pinhay", "nee"]))
+    return "".join(parts)
+
+
+@pytest.fixture
+def machine():
+    m = ac.Machine()
+    for w in ["needle", "pin", "hay", "nee", "inha"]:
+        m.insert_keyword(w)
+    return m
+
+
+def test_sparse_hits_match_dense_decode(machine):
+    rng = random.Random(0)
+    text = _sparse_corpus(rng)
+    dense = machine.scanner().find_matches(text)
+    sp = machine.scanner(prefilter="on")
+    got = sp.find_matches(text, max_hits=8192)
+    assert sp.stats["last_op"] == "find_matches_sparse"
+    assert np.array_equal(got.ends, dense.ends)
+    assert np.array_equal(got.end_states, dense.end_states)
+    assert np.array_equal(got.indices, dense.indices)
+    # event-order contract: per end position, index 0 = longest
+    for (ev, mt), (ev2, mt2) in zip(list(got)[:50], list(dense)[:50]):
+        assert (ev.start, ev.end, mt.text()) == (ev2.start, ev2.end,
+                                                 mt2.text())
+
+
+def test_sparse_hits_head_carry(machine):
+    """A keyword split across the head/stream boundary must still hit."""
+    sp = machine.scanner(prefilter="on")
+    dense = machine.scanner()
+    head = machine.vocab.lookup_many("need")
+    text = "le" + "z" * 700 + "pin"
+    got = sp.find_matches(text, head=head, max_hits=64)
+    want = dense.find_matches(text, head=head)
+    assert len(want.ends) > 0
+    assert np.array_equal(got.ends, want.ends)
+    assert np.array_equal(got.end_states, want.end_states)
+
+
+def test_sparse_hits_block_straddle(machine):
+    """Keywords placed exactly across every L_blk=128 boundary."""
+    piece = "z" * 125 + "needle"  # 'needle' straddles the 128-symbol edge
+    text = piece * 40
+    sp = machine.scanner(prefilter="on")
+    got = sp.find_matches(text, max_hits=1024)
+    want = machine.scanner().find_matches(text)
+    assert np.array_equal(got.ends, want.ends)
+    assert np.array_equal(got.end_states, want.end_states)
+
+
+def test_sparse_hits_all_oov(machine):
+    got = machine.scanner(prefilter="on").find_matches("z" * 5000,
+                                                       max_hits=8)
+    assert len(got.ends) == 0
+
+
+def test_sparse_hits_overflow_raises(machine):
+    rng = random.Random(1)
+    text = _sparse_corpus(rng)
+    sp = machine.scanner(prefilter="on")
+    with pytest.raises(ValueError, match="max_hits"):
+        sp.find_matches(text, max_hits=2)
+
+
+def test_sparse_hits_auto_falls_back_when_dense(machine):
+    """auto mode on a dense corpus: the prefilter declines and the regular
+    bounded-hits kernel answers (same results)."""
+    text = "needlepinhay" * 500
+    sp = machine.scanner(prefilter="auto")
+    got = sp.find_matches(text, max_hits=1 << 14)
+    want = machine.scanner().find_matches(text)
+    assert sp.stats["last_op"] == "find_matches_device"
+    assert np.array_equal(got.ends, want.ends)
+    assert np.array_equal(got.end_states, want.end_states)
+
+
+def test_sparse_hits_offset(machine):
+    sp = machine.scanner(prefilter="on")
+    text = "z" * 300 + "pin" + "z" * 300
+    got = sp.find_matches(text, offset=1000, max_hits=8)
+    assert list(got.ends) == [1000 + 300 + 2]
