@@ -64,6 +64,11 @@ def load_library():
         lib.acx_match.argtypes = [ct.c_void_p, i32, i32, p(i32)]
         lib.acx_match_bulk.restype = i64
         lib.acx_match_bulk.argtypes = [ct.c_void_p, p(i32), p(i32), i64]
+        lib.acx_match_stream_threaded.restype = i64
+        lib.acx_match_stream_threaded.argtypes = [
+            ct.c_void_p, p(i32), p(i32), i64, i64]
+        lib.acx_match_bulk_many.argtypes = [
+            ct.c_void_p, p(i32), p(i64), i64, p(i64), p(i32)]
         lib.acx_get_match_state.restype = i32
         lib.acx_get_match_state.argtypes = [ct.c_void_p, i32, i64]
         for name in ("acx_n_states", "acx_nb_sequences", "acx_version",
@@ -210,6 +215,32 @@ class NativeBuilder:
                                          _ptr(letters, ct.c_int32),
                                          len(letters))
         return int(s.value), int(total)
+
+    def match_stream_threaded(self, state: int, letters: np.ndarray,
+                              n_threads: int = 0) -> Tuple[int, int]:
+        """Halo-blocked threaded count over one stream (exact; see
+        acx_match_stream_threaded). n_threads<=0 = hardware default."""
+        letters = np.ascontiguousarray(letters, np.int32)
+        s = ct.c_int32(state)
+        total = self._lib.acx_match_stream_threaded(
+            self._h, ct.byref(s), _ptr(letters, ct.c_int32), len(letters),
+            int(n_threads))
+        return int(s.value), int(total)
+
+    def match_bulk_many(self, letters: np.ndarray,
+                        offsets: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Threaded per-document batch count: letters concatenated,
+        offsets[d]..offsets[d+1] delimit document d (each starts at the
+        root). Returns (totals int64 [n], end_states int32 [n])."""
+        letters = np.ascontiguousarray(letters, np.int32)
+        offsets = np.ascontiguousarray(offsets, np.int64)
+        n = len(offsets) - 1
+        totals = np.zeros(n, np.int64)
+        ends = np.zeros(n, np.int32)
+        self._lib.acx_match_bulk_many(
+            self._h, _ptr(letters, ct.c_int32), _ptr(offsets, ct.c_int64),
+            n, _ptr(totals, ct.c_int64), _ptr(ends, ct.c_int32))
+        return totals, ends
 
     def get_match_state(self, state: int, index: int) -> int:
         r = int(self._lib.acx_get_match_state(self._h, state, index))

@@ -203,15 +203,25 @@ class Machine:
         cursor.state, nb = self._b.match(cursor.state, letter)
         return nb
 
-    def match_stream(self, cursor: Cursor, signs) -> int:
+    def match_stream(self, cursor: Cursor, signs,
+                     parallel: Optional[bool] = None) -> int:
         """Advance the cursor through a whole chunk of signs and return the
         total number of matches — the host streaming path at native speed
         (one FFI call per chunk instead of one per sign). Equivalent to
         summing acm_match over the chunk (ref c:433-448); per-position
-        events need the device scanner or the per-sign loop."""
+        events need the device scanner or the per-sign loop.
+
+        ``parallel``: halo-blocked threaded scan (the host mirror of the
+        device kernel's sequence parallelism, ops/blocking.py — exact by
+        the same suffix-property argument, native backend only). None =
+        auto: threads kick in for streams past ~1M symbols."""
         import numpy as np
         ids = np.asarray(self.vocab.lookup_many(signs), np.int32)
         b = self._b
+        if hasattr(b, "match_stream_threaded") and (
+                parallel or (parallel is None and len(ids) >= 1 << 20)):
+            cursor.state, total = b.match_stream_threaded(cursor.state, ids)
+            return total
         if hasattr(b, "match_bulk"):
             cursor.state, total = b.match_bulk(cursor.state, ids)
             return total
@@ -222,6 +232,33 @@ class Machine:
             total += n
         cursor.state = s
         return total
+
+    def match_stream_many(self, docs) -> "np.ndarray":
+        """Per-document match counts for a batch of independent sign
+        sequences on the HOST, threaded across cores (native backend; the
+        host analogue of DenseScanner.count_many). Each document starts at
+        the root. Returns an int64 array of len(docs) counts."""
+        import numpy as np
+        encoded = [np.asarray(self.vocab.lookup_many(d), np.int32)
+                   for d in docs]
+        if not encoded:
+            return np.zeros(0, np.int64)
+        offsets = np.zeros(len(encoded) + 1, np.int64)
+        np.cumsum([len(e) for e in encoded], out=offsets[1:])
+        flat = (np.concatenate(encoded) if offsets[-1]
+                else np.zeros(0, np.int32))
+        b = self._b
+        if hasattr(b, "match_bulk_many"):
+            totals, _ = b.match_bulk_many(flat, offsets)
+            return totals
+        out = np.zeros(len(encoded), np.int64)
+        for d, ids in enumerate(encoded):
+            s, tot = 0, 0
+            for letter in ids.tolist():
+                s, n = b.match(s, int(letter))
+                tot += n
+            out[d] = tot
+        return out
 
     def get_match(self, cursor: Cursor, index: int) -> Match:
         """index-th match at the current cursor position, index 0 = longest

@@ -253,6 +253,7 @@ struct Machine {
   int64_t reconstruct = 0;  // AC75 dirty counter (ref c:70); atomic access
   int64_t version = 0;
   int32_t max_letter = 0;
+  int64_t max_end_depth = 0;  // longest keyword; halo bound for threaded scan
   std::mutex token;  // ref machine->token (c:81)
   // Concurrency model: the reference leaves its match path lock-free
   // (README.md:364). Its trie nodes are individually allocated and
@@ -470,6 +471,8 @@ struct Machine {
     is_end[state] = 1;
     touched.push_back(state);
     kw_rank[state] = nb_sequences++;
+    if (depth[state] > max_end_depth)
+      st_rel(&max_end_depth, static_cast<int64_t>(depth[state]));
     __atomic_fetch_add(&reconstruct, int64_t{1}, __ATOMIC_RELAXED);
     publish_locked(false);
     return 1;
@@ -720,6 +723,9 @@ void acx_insert_keywords(Machine* m, const int32_t* letters,
         m->is_end[state] = 1;
         m->touched.push_back(state);
         m->kw_rank[state] = m->nb_sequences++;
+        if (m->depth[state] > m->max_end_depth)
+          st_rel(&m->max_end_depth,
+                 static_cast<int64_t>(m->depth[state]));
         __atomic_fetch_add(&m->reconstruct, int64_t{1}, __ATOMIC_RELAXED);
         fresh = 1;
       }
@@ -788,6 +794,8 @@ int64_t acx_restore_machine(Machine* m, const int32_t* prev_state,
     if (!is_end[s]) continue;
     m->is_end[s] = 1;
     m->kw_rank[s] = kw_rank[s];
+    if (m->depth[s] > m->max_end_depth)
+      st_rel(&m->max_end_depth, static_cast<int64_t>(m->depth[s]));
     ++n_seq;
     __atomic_fetch_add(&m->reconstruct, int64_t{1}, __ATOMIC_RELAXED);
   }
@@ -835,6 +843,117 @@ int64_t acx_match_bulk(Machine* m, int32_t* state_io, const int32_t* letters,
   }
   *state_io = s;
   return total;
+}
+
+// Halo-blocked THREADED single-stream count: the host mirror of the
+// device kernel's sequence parallelism (ops/blocking.py). The stream
+// splits into contiguous chunks; every chunk after the first warms up
+// from the root over the `max_end_depth` symbols that precede it — by
+// the suffix property of AC states the warm-up reaches exactly the state
+// the sequential scan holds there, so per-chunk counts are exact
+// (warm-up positions do not count). Lock-free readers make the fan-out
+// safe against concurrent insertion; with inserts in flight, chunk
+// visibility is per-thread (each worker pins its own published view),
+// the same weak-but-monotone contract as acx_match_bulk. Returns the
+// total; *state_io advances to the final cursor. n_threads_req <= 0
+// picks a hardware-based default.
+int64_t acx_match_stream_threaded(Machine* m, int32_t* state_io,
+                                  const int32_t* letters, int64_t n,
+                                  int64_t n_threads_req) {
+  m->ensure_fail_states();
+  int64_t halo = ld_acq(&m->max_end_depth);
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = n_threads_req > 0
+      ? n_threads_req
+      : (hw >= 2 ? std::max<int64_t>(2, hw / 2) : 1);
+  // Each chunk must dwarf its warm-up and the thread-spawn cost.
+  int64_t min_chunk = 4 * halo + 65536;
+  if (n_threads > 1 && n / n_threads < min_chunk)
+    n_threads = std::max<int64_t>(1, n / min_chunk);
+  if (n_threads <= 1) return acx_match_bulk(m, state_io, letters, n);
+
+  std::vector<int64_t> totals(n_threads, 0);
+  std::vector<int32_t> finals(n_threads, kRoot);
+  int64_t chunk = n / n_threads;
+  int32_t s_in = *state_io;
+  auto worker = [&](int64_t t) {
+    ReaderScope scope(m);
+    RView v;
+    view_load(m, &v);
+    int64_t start = t * chunk;
+    int64_t end = (t == n_threads - 1) ? n : start + chunk;
+    int32_t s;
+    if (t == 0) {
+      s = (s_in < 0 || s_in >= v.n) ? kRoot : s_in;
+    } else {
+      s = kRoot;
+      for (int64_t i = std::max<int64_t>(0, start - halo); i < start; ++i)
+        s = view_goto(m, &v, s, letters[i]);
+    }
+    int64_t tot = 0;
+    for (int64_t i = start; i < end; ++i) {
+      s = view_goto(m, &v, s, letters[i]);
+      tot += ld_acq(&v.nb[s]);
+    }
+    totals[t] = tot;
+    finals[t] = s;
+  };
+  std::vector<std::thread> workers;
+  for (int64_t t = 1; t < n_threads; ++t) workers.emplace_back(worker, t);
+  worker(0);
+  for (auto& w : workers) w.join();
+  int64_t total = 0;
+  for (int64_t t = 0; t < n_threads; ++t) total += totals[t];
+  *state_io = finals[n_threads - 1];
+  return total;
+}
+
+// Threaded per-document batch count (the host analogue of
+// DenseScanner.count_many): documents delimited by offsets (n_docs+1
+// entries), each starting at the root. totals[d] receives document d's
+// match count; end_states[d] (optional) its final cursor. Contiguous
+// document ranges are balanced by total symbols across worker threads.
+void acx_match_bulk_many(Machine* m, const int32_t* letters,
+                         const int64_t* offsets, int64_t n_docs,
+                         int64_t* totals, int32_t* end_states) {
+  m->ensure_fail_states();
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = hw >= 2 ? std::max<int64_t>(2, hw / 2) : 1;
+  int64_t n_sym = offsets[n_docs];
+  if (n_docs < 2 * n_threads || n_sym < 262144) n_threads = 1;
+  auto run_range = [&](int64_t lo, int64_t hi) {
+    ReaderScope scope(m);
+    RView v;
+    view_load(m, &v);
+    for (int64_t d = lo; d < hi; ++d) {
+      int32_t s = kRoot;
+      int64_t tot = 0;
+      for (int64_t i = offsets[d]; i < offsets[d + 1]; ++i) {
+        s = view_goto(m, &v, s, letters[i]);
+        tot += ld_acq(&v.nb[s]);
+      }
+      totals[d] = tot;
+      if (end_states) end_states[d] = s;
+    }
+  };
+  if (n_threads <= 1) {
+    run_range(0, n_docs);
+    return;
+  }
+  // contiguous ranges, balanced by symbol mass
+  std::vector<int64_t> bounds(n_threads + 1, n_docs);
+  bounds[0] = 0;
+  int64_t d = 0;
+  for (int64_t t = 1; t < n_threads; ++t) {
+    int64_t target = n_sym * t / n_threads;
+    while (d < n_docs && offsets[d] < target) ++d;
+    bounds[t] = d;
+  }
+  std::vector<std::thread> workers;
+  for (int64_t t = 1; t < n_threads; ++t)
+    workers.emplace_back(run_range, bounds[t], bounds[t + 1]);
+  run_range(bounds[0], bounds[1]);
+  for (auto& w : workers) w.join();
 }
 
 // ref acm_get_match chain walk (c:457-466); returns the index-th
