@@ -402,6 +402,65 @@ def make_sharded_hits(mesh: Mesh, V: int, halo: int, max_hits_per_shard: int,
 
 
 @lru_cache(maxsize=None)
+def make_sharded_sparse_hits(mesh: Mesh, V: int, halo: int, L_blk: int,
+                             nB_loc: int, cap: int,
+                             max_hits_per_shard: int,
+                             axis_name: str = DATA_AXIS):
+    """Sharded filter-then-EXTRACT (the mesh sibling of
+    ops/sparse.make_sparse_hits composed with make_sharded_hits): each
+    shard scans only its live windows and pulls bounded hit positions/
+    states, absolute across the sharded stream; buffers all_gather back
+    replicated. Dense-table core (positions need per-symbol states)."""
+    from ..ops.sparse import _window_gather
+    n_dev = mesh.shape[axis_name]
+
+    def local_hits(dflat, nb_out, head, ids_local, idx_local):
+        ids_local = ids_local.reshape(-1)
+        idx_local = idx_local.reshape(-1)
+        Tl = ids_local.shape[0]
+        left = _right_shift_halo(ids_local, halo, axis_name, n_dev, head)
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((L_blk,), ids_local.dtype)])
+        win = _window_gather(ext, idx_local, nB_loc, L_blk, halo)
+        s0 = win[0] * 0
+
+        def step(s, c):
+            s2 = dflat[s * V + c]
+            return s2, s2
+
+        _, states_tm = lax.scan(step, s0, win)        # [halo+L_blk, cap]
+        counts = nb_out[states_tm][halo:, :]          # [L_blk, cap]
+        hit_mask = counts > 0
+        n_hit_pos = jnp.sum(hit_mask, dtype=jnp.int32)
+        shard_base = lax.axis_index(axis_name) * Tl
+        pos2d = (idx_local[None, :] * L_blk
+                 + jnp.arange(L_blk, dtype=jnp.int32)[:, None]
+                 + shard_base)
+        (flat_idx,) = jnp.nonzero(hit_mask.T.reshape(-1),
+                                  size=max_hits_per_shard, fill_value=-1)
+        valid = flat_idx >= 0
+        safe = jnp.maximum(flat_idx, 0)
+        positions = jnp.where(valid, pos2d.T.reshape(-1)[safe], -1)
+        sts = jnp.where(valid,
+                        states_tm[halo:, :].T.reshape(-1)[safe], 0)
+        return (lax.all_gather(positions, axis_name),
+                lax.all_gather(sts, axis_name),
+                lax.all_gather(n_hit_pos, axis_name))
+
+    inner = jax.jit(jax.shard_map(
+        local_hits, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P()), check_vma=False))
+
+    def fn(dflat, nb_out, ids, idx, head=None):
+        if head is None:
+            head = np.zeros(halo, np.int32)
+        return inner(dflat, nb_out, head, ids, idx)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
 def make_sharded_dense_count_many(mesh: Mesh, V: int,
                                   axis_name: str = DATA_AXIS):
     """Batched per-document counts: tm [L, B] time-major with the STREAM
@@ -825,6 +884,10 @@ class ShardedScanner:
                             np.zeros(0, np.int64), np.zeros(0, np.int32),
                             np.zeros(0, np.int32))
         key = int(max_hits_per_shard)
+        if self._prefilter != "off":
+            out = self._sparse_hits(ids, offset, head, key)
+            if out is not None:
+                return out
         # lru-cached factory: recompiles only for a new (halo, max_hits,...)
         hits_fn = make_sharded_hits(self.mesh, self.V, self.halo, key,
                                     self._n_streams_per_device,
@@ -846,3 +909,61 @@ class ShardedScanner:
         ends, end_states, idx = expand_hits_arrays(
             positions[order], sts[order], self.tables, offset)
         return MatchSet(self.machine, self.tables, ends, end_states, idx)
+
+    def _sparse_hits(self, ids: np.ndarray, offset, head, max_hits: int):
+        """Sharded filter-then-extract retrieval: the mesh sibling of
+        DenseScanner._sparse_hits (host filter per shard, dense-table
+        windows, bounded hit buffers all_gathered). Returns None when not
+        profitable/applicable — caller falls through to the dense
+        sharded bounded-hits kernel."""
+        from ..models.results import MatchSet
+        from ..ops import sparse
+        from ..ops.decode import expand_hits_arrays
+        halo = self.halo
+        L_blk = 128
+        if halo > L_blk:
+            return None
+        T = len(ids)
+        nB_real = -(-T // L_blk)
+        nB_min = max(1, -(-T // (self.n_dev * L_blk)))
+        nB_loc = 1 << (nB_min - 1).bit_length()
+        Tp = self.n_dev * nB_loc * L_blk
+        if Tp != T:
+            ids = np.concatenate([ids, np.zeros(Tp - T, np.int32)])
+        live = sparse.live_blocks(ids, L_blk).reshape(self.n_dev, nB_loc)
+        n_live = live.sum(axis=1)
+        total_live = int(n_live.sum())
+        self.stats["sparse_live_frac"] = total_live / max(nB_real, 1)
+        if total_live == 0:
+            return MatchSet(self.machine, self.tables,
+                            np.zeros(0, np.int64), np.zeros(0, np.int32),
+                            np.zeros(0, np.int32))
+        if self._prefilter == "auto" and total_live * 2 > nB_real:
+            return None
+        cap = max(8, 1 << (int(n_live.max()) - 1).bit_length())
+        idx = np.full((self.n_dev, cap), nB_loc, np.int32)
+        for d in range(self.n_dev):
+            w = np.flatnonzero(live[d])
+            idx[d, :len(w)] = w
+        placed_ids = jax.device_put(np.ascontiguousarray(ids), self._shard)
+        placed_idx = jax.device_put(idx.reshape(-1), self._shard)
+        fn = make_sharded_sparse_hits(self.mesh, self.V, halo, L_blk,
+                                      nB_loc, cap, max_hits,
+                                      self.axis_name)
+        positions, sts, n_hit_pos = fn(self._dflat, self._nb_out,
+                                       placed_ids, placed_idx,
+                                       head=self._head_arr(head, halo))
+        n_hit_pos = np.asarray(n_hit_pos)
+        if int(n_hit_pos.max()) > max_hits:
+            raise ValueError(
+                f"a shard has {int(n_hit_pos.max())} matching positions, "
+                f"over max_hits_per_shard={max_hits}")
+        positions = np.asarray(positions).reshape(-1)
+        sts = np.asarray(sts).reshape(-1)
+        keep = (positions >= 0) & (positions < T)
+        positions, sts = positions[keep], sts[keep]
+        order = np.argsort(positions, kind="stable")
+        ends, end_states, idx_out = expand_hits_arrays(
+            positions[order], sts[order], self.tables, offset)
+        return MatchSet(self.machine, self.tables, ends, end_states,
+                        idx_out)

@@ -101,3 +101,58 @@ def test_sparse_hits_offset(machine):
     text = "z" * 300 + "pin" + "z" * 300
     got = sp.find_matches(text, offset=1000, max_hits=8)
     assert list(got.ends) == [1000 + 300 + 2]
+
+
+# -- mesh parity (8-device CPU mesh from conftest) --------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    from aho_corasick_1975_tpu.parallel.mesh import make_mesh
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_mesh_sparse_hits_parity(machine, mesh8):
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+    rng = random.Random(7)
+    text = _sparse_corpus(rng, n=500)
+    sh = ShardedScanner(machine, mesh8, prefilter="on")
+    got = sh.find_matches(text, max_hits_per_shard=4096)
+    want = machine.scanner().find_matches(text)
+    assert len(want.ends) > 0
+    assert np.array_equal(got.ends, want.ends)
+    assert np.array_equal(got.end_states, want.end_states)
+    assert np.array_equal(got.indices, want.indices)
+
+
+def test_mesh_sparse_hits_shard_boundary(machine, mesh8):
+    """Keywords planted across every shard edge must survive the sparse
+    path's ppermute halo handoff."""
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+    n_dev = 8
+    L_blk = 128
+    shard = "z" * (4 * L_blk)
+    text = list(shard * n_dev)
+    for d in range(1, n_dev):
+        pos = d * len(shard) - 3  # 'needle' straddles the shard edge
+        text[pos:pos + 6] = "needle"
+    text = "".join(text)
+    sh = ShardedScanner(machine, mesh8, prefilter="on")
+    got = sh.find_matches(text, max_hits_per_shard=64)
+    want = machine.scanner().find_matches(text)
+    assert len(want.ends) == 2 * (n_dev - 1)  # 'needle' + suffix 'nee'? no:
+    # 'needle' contains 'nee' at its start, ending inside — both count
+    assert np.array_equal(got.ends, want.ends)
+    assert np.array_equal(got.end_states, want.end_states)
+
+
+def test_mesh_sparse_hits_overflow(machine, mesh8):
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+    rng = random.Random(8)
+    text = _sparse_corpus(rng, n=400)
+    sh = ShardedScanner(machine, mesh8, prefilter="on")
+    with pytest.raises(ValueError, match="max_hits_per_shard"):
+        sh.find_matches(text, max_hits_per_shard=1)
