@@ -99,13 +99,30 @@ class DeviceSnapshot:
         self.nb_out = self._place(self.nb_host)
 
         step_k, budget = self._spec
-        if step_k == "auto":
+        auto_k = step_k == "auto"
+        if auto_k:
             self.step_k = ms.choose_k(S, self.V, budget)
         else:
             self.step_k = max(1, int(step_k))
         self.stepped = None
         self.st_dev: Tuple = ()
         self._pk_host = self._dk_host = self._ck_host = None
+        if self.step_k == 1:
+            # k=1 PACKED table: same size as delta but ONE gather per
+            # symbol instead of delta + nb_out — the big-automaton count
+            # path where no k>=2 table fits the budget. The unpacked k=1
+            # form would just duplicate the dense tables, so only the
+            # packed form is kept (dense tables stay for states/hits).
+            # An EXPLICIT step_k=1 still means "dense tables only" (the
+            # documented way to force the non-stepped core in tests).
+            if not auto_k:
+                return
+            st = ms.build_stepped(tables, 1, cap_rows=self.cap)
+            if st.packed is None:
+                return
+            self.stepped = st
+            self._adopt_packed(st, S)
+            return
         if self.step_k > 1:
             st = ms.build_stepped(tables, self.step_k, cap_rows=self.cap)
             # the unpacked fallback needs two tables (8 bytes/entry);
@@ -118,21 +135,17 @@ class DeviceSnapshot:
                       if self.step_k > 1 else None)
             if st is None or self.step_k <= 1:
                 self.step_k = max(1, self.step_k)
+                if self.step_k == 1:
+                    st = ms.build_stepped(tables, 1, cap_rows=self.cap)
+                    if st.packed is not None:
+                        self.stepped = st
+                        self._adopt_packed(st, S)
                 return
             if st.packed is None and self.packed_only:
                 return
             self.stepped = st
             if st.packed is not None:
-                # the snapshot built st itself, so adopting cap_packed as
-                # the host mirror shares memory with nobody else
-                if (st.cap_packed is not None
-                        and st.cap_packed.size == self.cap * st.Vk):
-                    self._pk_host = st.cap_packed.reshape(self.cap, st.Vk)
-                else:
-                    self._pk_host = np.zeros((self.cap, st.Vk), np.int32)
-                    self._pk_host[:S] = st.packed.reshape(S, st.Vk)
-                st.packed = self._pk_host[:S].reshape(-1)
-                self.st_dev = (self._place(self._pk_host.reshape(-1)),)
+                self._adopt_packed(st, S)
             else:
                 self._dk_host = np.zeros((self.cap, st.Vk), np.int32)
                 self._dk_host[:S] = st.delta_k.reshape(S, st.Vk)
@@ -142,6 +155,19 @@ class DeviceSnapshot:
                 st.cnt_k = self._ck_host[:S].reshape(-1)
                 self.st_dev = (self._place(self._dk_host.reshape(-1)),
                                self._place(self._ck_host.reshape(-1)))
+
+    def _adopt_packed(self, st, S: int) -> None:
+        """Adopt a packed stepped table as the capacity-padded host mirror
+        (zero-copy when the snapshot built st itself via cap_rows) and
+        upload it."""
+        if (st.cap_packed is not None
+                and st.cap_packed.size == self.cap * st.Vk):
+            self._pk_host = st.cap_packed.reshape(self.cap, st.Vk)
+        else:
+            self._pk_host = np.zeros((self.cap, st.Vk), np.int32)
+            self._pk_host[:S] = st.packed.reshape(S, st.Vk)
+        st.packed = self._pk_host[:S].reshape(-1)
+        self.st_dev = (self._place(self._pk_host.reshape(-1)),)
 
     # -- incremental refresh ---------------------------------------------
 

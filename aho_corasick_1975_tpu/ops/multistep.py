@@ -111,7 +111,7 @@ def stepped_delta_cells(old: DenseTables, new: DenseTables, k: int):
     stepped table, the recomputed landing states, and the recomputed int64
     k-gram counts. Used by models/snapshot.py:DeviceSnapshot.refresh to
     scatter an online insertion into the device table without a rebuild."""
-    assert k >= 2
+    assert k >= 1
     S_old = old.n_states
     delta, nb = new.delta, new.nb_outputs
     S_new, V = delta.shape
@@ -120,6 +120,13 @@ def stepped_delta_cells(old: DenseTables, new: DenseTables, k: int):
     nbD = np.ones(S_new, dtype=bool)
     np.not_equal(old.nb_outputs, nb[:S_old], out=nbD[:S_old])
     dirty1 |= nbD[delta]
+    if k == 1:
+        # 1-gram: a cell changes iff its hop cell or the landing state's
+        # count changed — dirty1 IS the changed-cell set.
+        sp, cp = np.nonzero(dirty1)
+        cells = (sp.astype(np.int64) * V + cp).astype(np.int32)
+        land = delta[sp, cp].astype(np.int32)
+        return cells, land, nb[land].astype(np.int64)
     # Tail levels below the top stay dense: G = V^(k-1) entries per state,
     # only reached for k >= 3 where the budget already bounds S*V^(k-1).
     dirty = dirty1
