@@ -528,7 +528,12 @@ class DenseScanner:
             raw = self._raw_stream(signs)
             if raw is not None:
                 with self._dispatch:
-                    n = self._count_raw(raw[0], raw[1], head)
+                    n = None
+                    if len(raw[0]) >= self._pipeline_min:
+                        n = self._count_raw_pipelined(signs, raw[0],
+                                                      raw[1], head)
+                    if n is None:
+                        n = self._count_raw(raw[0], raw[1], head)
                 if n is not None:
                     self._record("count", len(signs),
                                  time.perf_counter() - t0)
@@ -556,6 +561,89 @@ class DenseScanner:
             n = self._count_dispatch(get_ext)
         self._record("count", len(ids), time.perf_counter() - t0)
         return n
+
+    # Chunked-pipeline thresholds: past _pipeline_min symbols, a raw host
+    # input is split into _pipeline_chunk-symbol chunks dispatched without
+    # intermediate syncs, overlapping each chunk's host->device transfer
+    # with the previous chunk's scan. Chunks are INDEPENDENT launches:
+    # each one's halo comes from the raw input itself (host data), so no
+    # device round-trip serializes them — the blocked-scan exactness
+    # argument (ops/blocking.py) applied at chunk granularity.
+    _pipeline_min = 16 << 20
+    _pipeline_chunk = 4 << 20
+
+    def _count_raw_pipelined(self, signs, raw, ent, head) -> Optional[int]:
+        """Pipelined raw-path count for large host inputs. Returns None
+        when the active engine has no raw kernel — caller falls through."""
+        from ..ops import multistep as ms
+        lut_dev = ent[0]
+        st = self._stepped
+        if self._mxu is not None:
+            from ..ops import scan_mxu
+            halo, unit = self.halo, 128
+            planes, cbits, n_planes, S_pad = self._mxu
+
+            def make(B, L):
+                fn = scan_mxu.make_mxu_count_raw(
+                    self.V, S_pad, cbits, n_planes, self.halo, B, L)
+                return lambda e, h: fn(planes, lut_dev, e, h)
+        elif self._hybrid is not None:
+            from ..ops import scan_hybrid
+            halo, unit = self._halo_sym, 128 * st.k
+            planes, cbm, n_planes, S_pad = self._hybrid
+
+            def make(B, L):
+                B2 = scan_hybrid.mxu_cols(B, S_pad)
+                fn = scan_hybrid.make_hybrid_count_raw(
+                    st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
+                    S_pad, n_planes, cbm, B - B2, B2, L)
+                return lambda e, h: fn(self._st_dev[0], planes, lut_dev,
+                                       e, h)
+        elif st is not None and st.packed is not None:
+            halo, unit = self._halo_sym, 128 * st.k
+
+            def make(B, L):
+                fn = ms.make_stepped_count_raw(
+                    st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
+                    B, L)
+                return lambda e, h: fn(self._st_dev[0], lut_dev, e, h)
+        elif st is not None:
+            return None  # unpacked two-table fallback: host path
+        else:
+            from ..ops.scan_xla import make_blocked_count_raw
+            halo, unit = self.halo, 128
+
+            def make(B, L):
+                fn = make_blocked_count_raw(self.V, self.halo, B, L)
+                return lambda e, h: fn(self._dflat, self._nb_out, e, h)
+
+        T = len(raw)
+        C = self._pipeline_chunk
+        n_chunks = -(-T // C)
+        if n_chunks < 2:
+            return None
+        B = self._streams_for(C)
+        L = max(unit, -(-(-(-C // B)) // unit) * unit)
+        self._guard_acc(L)
+        fn = make(B, L)
+        n_ext = halo + B * L
+        partials = []
+        for i in range(n_chunks):
+            start, end = i * C, min(T, (i + 1) * C)
+            # fresh buffer per chunk: the transfer is still in flight when
+            # the next chunk stages (that overlap is the whole point)
+            buf = np.zeros(n_ext, raw.dtype)
+            buf[halo:halo + (end - start)] = raw[start:end]
+            head_ids = np.zeros(halo, np.int32)
+            if i == 0:
+                if head is not None and len(head) and halo:
+                    h = min(len(head), halo)
+                    head_ids[halo - h:] = head[-h:]
+            elif halo:
+                head_ids[:] = self.encode(signs[start - halo:start])
+            partials.append(fn(jnp.asarray(buf), jnp.asarray(head_ids)))
+        return sum(int(np.asarray(p).sum(dtype=np.int64))
+                   for p in partials)
 
     def _count_dispatch(self, get_ext) -> int:
         """Engine-select and run a count over an ext stream buffer.
