@@ -62,6 +62,80 @@ def encode_signs(machine, signs, V: int) -> np.ndarray:
     return out
 
 
+def raw_lut_entry(machine, V: int, tables, kind: str, max_cp: int,
+                  cache: dict, place):
+    """Device LUT for the raw (device-side encode) path: (lut_dev,
+    n_entries, needs_max_check), or None when the raw path cannot be
+    exact. Cached per (vocab version, snapshot V) in ``cache``; ``place``
+    uploads the host LUT (jnp.asarray single-chip, a replicated
+    device_put on a mesh). Two contracts enforced here: ids >= V mask to
+    OOV (snapshot pinning — letters registered after the snapshot are
+    unknown letters for it), and raw 0 must behave exactly like OOV (the
+    raw staging pads halo/tail with raw 0): either lut[0] IS OOV, or its
+    letter appears in no keyword — every delta column entry roots and the
+    root never emits (the reference's modification [3], README.md:347)."""
+    vocab = machine.vocab
+    key = (kind, getattr(vocab, "_version", 0), V)
+    hit = cache.get(key)
+    if hit is not None:
+        return None if hit == "no" else hit
+    fn = getattr(vocab,
+                 "byte_lut" if kind == "byte" else "codepoint_lut", None)
+    res = None
+    if fn is not None:
+        res = fn() if kind == "byte" else fn(max_cp)
+    if res is None:
+        cache.clear()
+        cache[key] = "no"
+        return None
+    if kind == "byte":
+        lut, needs_check = np.asarray(res, np.int32).copy(), False
+    else:
+        lut, needs_check = res
+    lut = np.where(lut < V, lut, 0).astype(np.int32)
+    lid = int(lut[0])
+    if lid != 0 and not bool((tables.delta[:, lid] == 0).all()):
+        cache.clear()
+        cache[key] = "no"
+        return None
+    entry = (place(lut), int(lut.shape[0]), needs_check)
+    cache.clear()
+    cache[key] = entry
+    return entry
+
+
+def raw_stream_for(machine, signs, get_lut):
+    """(raw symbol ndarray, lut entry) for device-side encode, or None
+    (host-encode path). bytes/uint8 arrays -> raw uint8 through the
+    256-entry byte LUT; str -> int32 codepoints through the codepoint
+    LUT (utils/vocab.codepoint_lut exactness rules)."""
+    if isinstance(signs, (bytes, bytearray)) or (
+            isinstance(signs, np.ndarray) and signs.dtype == np.uint8):
+        ent = get_lut("byte")
+        if ent is None:
+            return None
+        raw = (np.frombuffer(bytes(signs), np.uint8)
+               if not isinstance(signs, np.ndarray) else signs)
+        return raw, ent
+    if isinstance(signs, str):
+        enc = getattr(machine.vocab, "str_encoding", None)
+        if enc:  # fixed byte alphabet (ByteMachine): str == its bytes
+            ent = get_lut("byte")
+            if ent is None:
+                return None
+            return np.frombuffer(signs.encode(enc), np.uint8), ent
+        ent = get_lut("cp")
+        if ent is None:
+            return None
+        cps = np.frombuffer(signs.encode("utf-32-le"),
+                            dtype=np.uint32).view(np.int32)
+        _, n_lut, needs_check = ent
+        if needs_check and cps.size and int(cps.max()) >= n_lut - 1:
+            return None  # beyond the eager LUT: host path stays exact
+        return cps, ent
+    return None
+
+
 class DenseScanner:
     def __init__(self, machine, n_streams: "int | str" = "auto",
                  halo: Optional[int] = None,
@@ -350,76 +424,16 @@ class DenseScanner:
     # -- device-side encode (raw path) --------------------------------------
 
     def _get_lut(self, kind: str):
-        """Device LUT for the raw path: (lut_dev, n_entries,
-        needs_max_check), or None when the raw path cannot be exact.
-        Cached per (vocab version, snapshot V). Two contracts enforced
-        here: ids >= V mask to OOV (snapshot pinning — letters registered
-        after the snapshot are unknown letters for it), and lut[0] == OOV
-        (the raw staging pads halo/tail with raw 0)."""
-        vocab = self.machine.vocab
-        key = (kind, getattr(vocab, "_version", 0), self.V)
-        hit = self._lut_cache.get(key)
-        if hit is not None:
-            return None if hit == "no" else hit
-        fn = getattr(vocab,
-                     "byte_lut" if kind == "byte" else "codepoint_lut", None)
-        res = None
-        if fn is not None:
-            res = fn() if kind == "byte" else fn(self._device_encode_max_cp)
-        if res is None:
-            self._lut_cache = {key: "no"}
-            return None
-        if kind == "byte":
-            lut, needs_check = np.asarray(res, np.int32).copy(), False
-        else:
-            lut, needs_check = res
-        lut = np.where(lut < self.V, lut, 0).astype(np.int32)
-        # Raw-0 padding must behave exactly like OOV: either it IS OOV, or
-        # its letter appears in no keyword (then every delta column entry
-        # is root and the root never emits — the same contract the
-        # reference's modification [3] gives undefined transitions,
-        # README.md:347). ByteMachine (all 256 bytes in-vocabulary) passes
-        # via the column check whenever byte 0 is not part of a keyword.
-        lid = int(lut[0])
-        if lid != 0 and not bool((self.tables.delta[:, lid] == 0).all()):
-            self._lut_cache = {key: "no"}
-            return None
-        entry = (jnp.asarray(lut), int(lut.shape[0]), needs_check)
-        self._lut_cache = {key: entry}
-        return entry
+        return raw_lut_entry(self.machine, self.V, self.tables, kind,
+                             self._device_encode_max_cp, self._lut_cache,
+                             jnp.asarray)
 
     def _raw_stream(self, signs):
         """(raw symbol ndarray, lut entry) for device-side encode, or None
-        (host-encode path). bytes/uint8 arrays -> raw uint8 through the
-        256-entry byte LUT; str -> int32 codepoints through the codepoint
-        LUT (utils/vocab.codepoint_lut exactness rules)."""
+        (host-encode path) — see raw_stream_for."""
         if not self._device_encode:
             return None
-        if isinstance(signs, (bytes, bytearray)) or (
-                isinstance(signs, np.ndarray) and signs.dtype == np.uint8):
-            ent = self._get_lut("byte")
-            if ent is None:
-                return None
-            raw = (np.frombuffer(bytes(signs), np.uint8)
-                   if not isinstance(signs, np.ndarray) else signs)
-            return raw, ent
-        if isinstance(signs, str):
-            enc = getattr(self.machine.vocab, "str_encoding", None)
-            if enc:  # fixed byte alphabet (ByteMachine): str == its bytes
-                ent = self._get_lut("byte")
-                if ent is None:
-                    return None
-                return np.frombuffer(signs.encode(enc), np.uint8), ent
-            ent = self._get_lut("cp")
-            if ent is None:
-                return None
-            cps = np.frombuffer(signs.encode("utf-32-le"),
-                                dtype=np.uint32).view(np.int32)
-            _, n_lut, needs_check = ent
-            if needs_check and cps.size and int(cps.max()) >= n_lut - 1:
-                return None  # beyond the eager LUT: host path stays exact
-            return cps, ent
-        return None
+        return raw_stream_for(self.machine, signs, self._get_lut)
 
     def _stream_ext_raw(self, raw: np.ndarray, head, halo: int, unit: int):
         """Stage a RAW symbol stream + ID-space head for the *_raw kernels:

@@ -64,13 +64,19 @@ def _right_shift_halo(ids_local, halo: int, axis_name: str, n_dev: int,
 @lru_cache(maxsize=None)
 def make_sharded_count(mesh: Mesh, V: int, halo: int,
                        n_streams_per_device: int = 256,
-                       axis_name: str = DATA_AXIS):
-    """Returns jitted count(dflat, nb_out, ids) -> per-stream totals
+                       axis_name: str = DATA_AXIS, raw: bool = False):
+    """Returns jitted count(dflat, nb_out, ids[, lut]) -> per-stream totals
     [n_dev, B] int32, replicated (all_gather).
 
     ids: int32 [T] with T divisible by the mesh size (caller pads with OOV;
     OOV lands on the root whose output count is 0, so padding is inert).
     dflat/nb_out replicated, ids sharded along ``axis_name``.
+
+    ``raw``: ids are RAW symbols (uint8 bytes / int32 codepoints) and the
+    replicated ``lut`` maps them to letter ids INSIDE the kernel — the
+    mesh-wide device-side encode (raw 0 must behave like OOV, the
+    models/scanner.raw_lut_entry contract), with the halo handoff riding
+    the encoded stream so session heads stay in id space.
 
     Two-level reduction: int32 per-stream accumulators on device (a single
     stream holds < 2^31 matches), int64 grand total on the host — so a
@@ -79,8 +85,10 @@ def make_sharded_count(mesh: Mesh, V: int, halo: int,
     """
     n_dev = mesh.shape[axis_name]
 
-    def local_count(dflat, nb_out, head, ids_local):
+    def local_count(dflat, nb_out, lut, head, ids_local):
         ids_local = ids_local.reshape(-1)  # shard_map keeps rank; [T/D]
+        if raw:
+            ids_local = lut[ids_local.astype(jnp.int32)]
         Tl = ids_local.shape[0]
         left = _right_shift_halo(ids_local, halo, axis_name, n_dev, head)
         B = min(n_streams_per_device, max(1, Tl // 64))
@@ -94,14 +102,17 @@ def make_sharded_count(mesh: Mesh, V: int, halo: int,
 
     # check_vma off: the all_gather output is replicated by construction,
     # but the static varying-axis checker cannot prove it.
-    inner = jax.jit(jax.shard_map(local_count, mesh=mesh,
-                                  in_specs=(P(), P(), P(), P(axis_name)),
-                                  out_specs=P(), check_vma=False))
+    inner = jax.jit(jax.shard_map(
+        local_count, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name)),
+        out_specs=P(), check_vma=False))
 
-    def fn(dflat, nb_out, ids, head=None):
+    def fn(dflat, nb_out, ids, head=None, lut=None):
         if head is None:
             head = np.zeros(halo, np.int32)
-        return inner(dflat, nb_out, head, ids)
+        if lut is None:
+            lut = np.zeros(1, np.int32)  # unused placeholder (raw=False)
+        return inner(dflat, nb_out, lut, head, ids)
 
     return fn
 
@@ -110,16 +121,21 @@ def make_sharded_count(mesh: Mesh, V: int, halo: int,
 def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
                                count_bits: int, halo_steps: int,
                                n_streams_per_device: int = 256,
-                               axis_name: str = DATA_AXIS):
+                               axis_name: str = DATA_AXIS,
+                               raw: bool = False):
     """k-gram packed count over the mesh (the fast count path, sharded).
     Table replicated; corpus sharded; halo = halo_steps*k symbols.
-    Returns per-stream totals [n_dev, B] int32 (all_gather); callers sum on
-    the host in int64 (same two-level reduction as make_sharded_count)."""
+    ``raw``: device-side encode via the replicated lut (see
+    make_sharded_count). Returns per-stream totals [n_dev, B] int32
+    (all_gather); callers sum on the host in int64 (same two-level
+    reduction as make_sharded_count)."""
     n_dev = mesh.shape[axis_name]
     halo_sym = halo_steps * k
 
-    def local_count(packed, head, ids_local):
+    def local_count(packed, lut, head, ids_local):
         ids_local = ids_local.reshape(-1)
+        if raw:
+            ids_local = lut[ids_local.astype(jnp.int32)]
         Tl = ids_local.shape[0]
         left = _right_shift_halo(ids_local, halo_sym, axis_name, n_dev, head)
         unit = 64 * k
@@ -134,13 +150,15 @@ def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
         return lax.all_gather(tot, axis_name)
 
     inner = jax.jit(jax.shard_map(local_count, mesh=mesh,
-                                  in_specs=(P(), P(), P(axis_name)),
+                                  in_specs=(P(), P(), P(), P(axis_name)),
                                   out_specs=P(), check_vma=False))
 
-    def fn(packed, ids, head=None):
+    def fn(packed, ids, head=None, lut=None):
         if head is None:
             head = np.zeros(halo_sym, np.int32)
-        return inner(packed, head, ids)
+        if lut is None:
+            lut = np.zeros(1, np.int32)
+        return inner(packed, lut, head, ids)
 
     return fn
 
@@ -149,15 +167,18 @@ def make_sharded_stepped_count(mesh: Mesh, V: int, k: int, Vk: int,
 def make_sharded_mxu_count(mesh: Mesh, V: int, S_pad: int, count_bits: int,
                            n_planes: int, halo: int,
                            n_streams_per_device: int = 256,
-                           axis_name: str = DATA_AXIS):
+                           axis_name: str = DATA_AXIS, raw: bool = False):
     """Mesh-wide count through the MXU digit-matmul engine (small automata;
     ops/scan_mxu.py): planes replicated, corpus sharded, same ppermute halo
-    handoff and two-level int32/int64 reduction as make_sharded_count."""
+    handoff and two-level int32/int64 reduction as make_sharded_count.
+    ``raw``: device-side encode via the replicated lut."""
     from ..ops.scan_mxu import mxu_count_core
     n_dev = mesh.shape[axis_name]
 
-    def local_count(planes, head, ids_local):
+    def local_count(planes, lut, head, ids_local):
         ids_local = ids_local.reshape(-1)
+        if raw:
+            ids_local = lut[ids_local.astype(jnp.int32)]
         Tl = ids_local.shape[0]
         left = _right_shift_halo(ids_local, halo, axis_name, n_dev, head)
         B = min(n_streams_per_device, max(1, Tl // 64))
@@ -171,13 +192,15 @@ def make_sharded_mxu_count(mesh: Mesh, V: int, S_pad: int, count_bits: int,
         return lax.all_gather(tot, axis_name)
 
     inner = jax.jit(jax.shard_map(local_count, mesh=mesh,
-                                  in_specs=(P(), P(), P(axis_name)),
+                                  in_specs=(P(), P(), P(), P(axis_name)),
                                   out_specs=P(), check_vma=False))
 
-    def fn(planes, ids, head=None):
+    def fn(planes, ids, head=None, lut=None):
         if head is None:
             head = np.zeros(halo, np.int32)
-        return inner(planes, head, ids)
+        if lut is None:
+            lut = np.zeros(1, np.int32)
+        return inner(planes, lut, head, ids)
 
     return fn
 
@@ -187,18 +210,22 @@ def make_sharded_hybrid_count(mesh: Mesh, V: int, k: int, Vk: int,
                               count_bits_g: int, halo_steps: int,
                               S_pad: int, n_planes: int, count_bits_m: int,
                               n_streams_per_device: int = 256,
-                              axis_name: str = DATA_AXIS):
+                              axis_name: str = DATA_AXIS,
+                              raw: bool = False):
     """Mesh-wide hybrid gather+MXU dual-issue count (ops/scan_hybrid.py):
     packed table + digit planes replicated, corpus sharded, same ppermute
     halo handoff and two-level int32/int64 reduction as the other sharded
     counts. Tiny per-device streams (B < 16) degenerate to the pure
-    stepped core — the MXU columns only pay off riding a wide gather."""
+    stepped core — the MXU columns only pay off riding a wide gather.
+    ``raw``: device-side encode via the replicated lut."""
     from ..ops import scan_hybrid
     n_dev = mesh.shape[axis_name]
     halo_sym = halo_steps * k
 
-    def local_count(packed, planes, head, ids_local):
+    def local_count(packed, planes, lut, head, ids_local):
         ids_local = ids_local.reshape(-1)
+        if raw:
+            ids_local = lut[ids_local.astype(jnp.int32)]
         Tl = ids_local.shape[0]
         left = _right_shift_halo(ids_local, halo_sym, axis_name, n_dev,
                                  head)
@@ -219,14 +246,17 @@ def make_sharded_hybrid_count(mesh: Mesh, V: int, k: int, Vk: int,
                 count_bits_m, B - B2, packed, planes, win)
         return lax.all_gather(tot, axis_name)
 
-    inner = jax.jit(jax.shard_map(local_count, mesh=mesh,
-                                  in_specs=(P(), P(), P(), P(axis_name)),
-                                  out_specs=P(), check_vma=False))
+    inner = jax.jit(jax.shard_map(
+        local_count, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name)),
+        out_specs=P(), check_vma=False))
 
-    def fn(packed, planes, ids, head=None):
+    def fn(packed, planes, ids, head=None, lut=None):
         if head is None:
             head = np.zeros(halo_sym, np.int32)
-        return inner(packed, planes, head, ids)
+        if lut is None:
+            lut = np.zeros(1, np.int32)
+        return inner(packed, planes, lut, head, ids)
 
     return fn
 
@@ -508,7 +538,9 @@ class ShardedScanner:
                  axis_name: str = DATA_AXIS, tables=None,
                  step_k: "int | str" = "auto",
                  step_budget_bytes: int = 128 * 1024 * 1024,
-                 engine: str = "auto", prefilter: str = "off"):
+                 engine: str = "auto", prefilter: str = "off",
+                 device_encode: bool = True,
+                 device_encode_max_cp: int = 1024):
         """``engine``: same contract as DenseScanner — "gather" (packed
         k-gram gather, default workhorse), "mxu" (one-hot digit-matmul
         count engine, small automata only, raises when oversize), "hybrid"
@@ -545,6 +577,9 @@ class ShardedScanner:
             packed_only=True)
         self.halo = max(self.tables.max_depth - 1, 0)
         self._n_streams_per_device = n_streams_per_device
+        self._device_encode = device_encode
+        self._device_encode_max_cp = device_encode_max_cp
+        self._lut_cache: dict = {}
         self.stats: dict = {}
         self._bind_kernels()
 
@@ -666,6 +701,68 @@ class ShardedScanner:
         from ..models.scanner import encode_signs
         return encode_signs(self.machine, signs, self.V)
 
+    def _get_lut(self, kind: str):
+        from ..models.scanner import raw_lut_entry
+        return raw_lut_entry(
+            self.machine, self.V, self.tables, kind,
+            self._device_encode_max_cp, self._lut_cache,
+            lambda lut: jax.device_put(np.asarray(lut), self._repl))
+
+    def _raw_stream(self, signs):
+        """(raw symbol ndarray, replicated lut entry) for the mesh-wide
+        device-side encode, or None — mirrors DenseScanner._raw_stream."""
+        from ..models.scanner import raw_stream_for
+        if not self._device_encode:
+            return None
+        return raw_stream_for(self.machine, signs, self._get_lut)
+
+    def _count_raw(self, raw: np.ndarray, ent, head) -> Optional[int]:
+        """Raw-path sharded count: raw symbols upload sharded (1 byte per
+        symbol for byte corpora, 4x less wire than ids), the replicated
+        LUT encodes inside each shard's kernel, and the halo handoff rides
+        the encoded stream. Returns None when the active engine has no raw
+        kernel (unpacked stepped fallback) — caller host-encodes."""
+        lut_dev = ent[0]
+        T = len(raw)
+        min_shard = max(self.halo, self._halo_sym, 1)
+        Tp = max(-(-T // self.n_dev), min_shard) * self.n_dev
+        if Tp != T:
+            raw = np.concatenate([raw, np.zeros(Tp - T, raw.dtype)])
+        placed = jax.device_put(np.ascontiguousarray(raw), self._shard)
+        self._guard_acc(Tp)
+        st = self._stepped
+        if self._mxu is not None:
+            planes, cbits, n_planes, S_pad = self._mxu
+            fn = make_sharded_mxu_count(
+                self.mesh, self.V, S_pad, cbits, n_planes, self.halo,
+                self._n_streams_per_device, self.axis_name, raw=True)
+            per = fn(planes, placed, head=self._head_arr(head, self.halo),
+                     lut=lut_dev)
+        elif self._hybrid is not None:
+            planes, cbm, n_planes, S_pad = self._hybrid
+            fn = make_sharded_hybrid_count(
+                self.mesh, st.V, st.k, st.Vk, st.count_bits,
+                self._halo_steps, S_pad, n_planes, cbm,
+                self._n_streams_per_device, self.axis_name, raw=True)
+            per = fn(self._st_packed, planes, placed,
+                     head=self._head_arr(head, self._halo_sym), lut=lut_dev)
+        elif st is not None and st.packed is not None:
+            fn = make_sharded_stepped_count(
+                self.mesh, st.V, st.k, st.Vk, st.count_bits,
+                self._halo_steps, self._n_streams_per_device,
+                self.axis_name, raw=True)
+            per = fn(self._st_packed, placed,
+                     head=self._head_arr(head, self._halo_sym), lut=lut_dev)
+        elif st is not None:
+            return None  # unpacked two-table fallback: host path
+        else:
+            fn = make_sharded_count(
+                self.mesh, self.V, self.halo, self._n_streams_per_device,
+                self.axis_name, raw=True)
+            per = fn(self._dflat, self._nb_out, placed,
+                     head=self._head_arr(head, self.halo), lut=lut_dev)
+        return int(np.asarray(per).sum(dtype=np.int64))
+
     def _pad_and_place(self, ids: np.ndarray):
         T = len(ids)
         min_shard = max(self.halo, self._halo_sym, 1)
@@ -699,6 +796,12 @@ class ShardedScanner:
                 "scanner.session() or raise n_streams_per_device")
 
     def count(self, signs, head=None) -> int:
+        if self._prefilter == "off" and len(signs):
+            raw = self._raw_stream(signs)
+            if raw is not None:
+                n = self._count_raw(raw[0], raw[1], head)
+                if n is not None:
+                    return n
         ids = self.encode(signs)
         if len(ids) == 0:
             return 0
