@@ -540,7 +540,8 @@ class ShardedScanner:
                  step_budget_bytes: int = 128 * 1024 * 1024,
                  engine: str = "auto", prefilter: str = "off",
                  device_encode: bool = True,
-                 device_encode_max_cp: int = 1024):
+                 device_encode_max_cp: int = 1024,
+                 calibrate: bool = False):
         """``engine``: same contract as DenseScanner — "gather" (packed
         k-gram gather, default workhorse), "mxu" (one-hot digit-matmul
         count engine, small automata only, raises when oversize), "hybrid"
@@ -581,6 +582,37 @@ class ShardedScanner:
         self._device_encode_max_cp = device_encode_max_cp
         self._lut_cache: dict = {}
         self.stats: dict = {}
+        self._bind_kernels()
+        if calibrate and engine == "auto":
+            self._calibrate_engine()
+
+    def _calibrate_engine(self) -> None:
+        """Measured engine selection on the mesh (ops/autotune.py, the
+        ShardedScanner sibling of DenseScanner._calibrate_engine): probe
+        each available engine's production count() once over the sharded
+        synthetic corpus, keep the fastest, cache per (backend, device
+        kind, geometry, mesh size)."""
+        from ..ops import autotune, scan_hybrid, scan_mxu
+        candidates = ["gather"]
+        if scan_mxu.build_planes(self.tables.delta,
+                                 self.tables.nb_outputs) is not None:
+            candidates.append("mxu")
+        st = self._snap.stepped
+        if (st is not None and st.packed is not None
+                and scan_mxu.build_planes(
+                    self.tables.delta, self.tables.nb_outputs,
+                    max_states=scan_hybrid.MAX_HYBRID_STATES) is not None):
+            candidates.append("hybrid")
+        choice = "gather"
+        if len(candidates) > 1:
+            key = autotune.geometry_key(
+                self.tables.n_states, self.V,
+                self.step_k) + f"|mesh{self.n_dev}"
+            choice = autotune.cached_choice(key)
+            if choice not in candidates:
+                choice = autotune.probe(self, candidates)
+                autotune.store_choice(key, choice)
+        self._engine = choice
         self._bind_kernels()
 
     # Snapshot delegation (mirrors DenseScanner).

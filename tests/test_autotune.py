@@ -62,3 +62,21 @@ def test_single_candidate_skips_probe():
     sc = m.scanner(calibrate=True)
     assert sc._engine == "gather"
     assert "calibration" not in sc.stats
+
+
+def test_sharded_calibrate_parity():
+    """ShardedScanner(calibrate=True): the mesh sibling probes its own
+    sharded count path and stays conformant."""
+    import jax
+
+    from aho_corasick_1975_tpu.parallel.mesh import make_mesh
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+    assert len(jax.devices()) >= 8
+    m = _machine()
+    sh = ShardedScanner(m, make_mesh(8), n_streams_per_device=8,
+                        calibrate=True)
+    assert sh._engine in ("gather", "mxu", "hybrid")
+    assert "calibration" in sh.stats
+    text = "abab ba bb aab" * 300
+    cur = m.initiate()
+    assert sh.count(text) == m.match_stream(cur, text)
