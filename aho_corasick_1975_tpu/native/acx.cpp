@@ -982,13 +982,24 @@ int32_t acx_get_match_state(Machine* m, int32_t state, int64_t index) {
   }
 }
 
+// Introspection reads run without the lock (Python property accesses can
+// race inserters) — atomic relaxed loads, momentarily-stale values.
 int64_t acx_n_states(const Machine* m) {
-  return static_cast<int64_t>(m->n_states_);
+  return static_cast<int64_t>(
+      __atomic_load_n(&m->n_states_, __ATOMIC_RELAXED));
 }
-int64_t acx_nb_sequences(const Machine* m) { return m->nb_sequences; }
-int64_t acx_version(const Machine* m) { return m->version; }
-int64_t acx_reconstruct(const Machine* m) { return m->reconstruct; }
-int32_t acx_max_letter(const Machine* m) { return m->max_letter; }
+int64_t acx_nb_sequences(const Machine* m) {
+  return __atomic_load_n(&m->nb_sequences, __ATOMIC_RELAXED);
+}
+int64_t acx_version(const Machine* m) {
+  return __atomic_load_n(&m->version, __ATOMIC_RELAXED);
+}
+int64_t acx_reconstruct(const Machine* m) {
+  return __atomic_load_n(&m->reconstruct, __ATOMIC_RELAXED);
+}
+int32_t acx_max_letter(const Machine* m) {
+  return __atomic_load_n(&m->max_letter, __ATOMIC_RELAXED);
+}
 void acx_ensure_fail_states(Machine* m) { m->ensure_fail_states(); }
 
 // Snapshot of per-state arrays (caller allocates n_states elements each;
