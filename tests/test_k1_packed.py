@@ -28,8 +28,10 @@ def _text(seed, n=120_000):
 
 
 def _k1_scanner(machine, **kw):
-    # budget too small for k=2 -> auto resolves to the packed 1-gram table
-    sc = machine.scanner(step_budget_bytes=1 << 16, n_streams=32, **kw)
+    # budget too small for k=2 but big enough for the k=1 packed table
+    # (which now honors the budget too, ADVICE r3) -> auto resolves to
+    # the packed 1-gram table
+    sc = machine.scanner(step_budget_bytes=1 << 18, n_streams=32, **kw)
     st = sc._stepped
     assert st is not None and st.k == 1 and st.packed is not None
     return sc
@@ -37,6 +39,18 @@ def _k1_scanner(machine, **kw):
 
 def test_explicit_step_k1_stays_dense(machine):
     assert machine.scanner(step_k=1)._stepped is None
+
+
+def test_k1_packed_honors_budget(machine):
+    """ADVICE r3: the k=1 packed table is an extra cap*V*4 bytes and must
+    respect step_budget_bytes like every other k — a budget below the
+    dense-table footprint keeps the snapshot dense-only."""
+    sc = machine.scanner(step_budget_bytes=1 << 10, n_streams=32)
+    assert sc._stepped is None
+    # counts still exact through the dense fallback
+    text = _text(9, 20_000)
+    cur = machine.initiate()
+    assert sc.count(text) == machine.match_stream(cur, text)
 
 
 def test_k1_packed_count_parity(machine):
@@ -90,7 +104,7 @@ def test_k1_packed_sharded(machine):
     assert len(jax.devices()) >= 8
     text = _text(4, 80_000)
     sh = ShardedScanner(machine, make_mesh(8), n_streams_per_device=4,
-                        step_budget_bytes=1 << 16)
+                        step_budget_bytes=1 << 18)
     st = sh._stepped
     assert st is not None and st.k == 1 and st.packed is not None
     cur = machine.initiate()
