@@ -229,31 +229,43 @@ class DenseScanner:
         if calibrate and engine == "auto":
             self._calibrate_engine()
 
-    def _calibrate_engine(self) -> None:
+    def _calibrate_engine(self, force: bool = False) -> None:
         """Replace the heuristic auto-selection with a measured one
         (ops/autotune.py): probe every available engine's production
-        count() once, keep the fastest, cache the choice."""
+        count() once, keep the fastest, cache the choice. Runs under the
+        dispatch lock — engine/kernel rebinds must never interleave with a
+        live scan on another thread (VERDICT r3 #7)."""
         from ..ops import autotune, scan_hybrid, scan_mxu
-        candidates = ["gather"]
-        if scan_mxu.build_planes(self.tables.delta,
-                                 self.tables.nb_outputs) is not None:
-            candidates.append("mxu")
-        st = self._snap.stepped
-        if (st is not None and st.packed is not None
-                and scan_mxu.build_planes(
-                    self.tables.delta, self.tables.nb_outputs,
-                    max_states=scan_hybrid.MAX_HYBRID_STATES) is not None):
-            candidates.append("hybrid")
-        choice = "gather"
-        if len(candidates) > 1:
-            key = autotune.geometry_key(self.tables.n_states, self.V,
-                                        self.step_k)
-            choice = autotune.cached_choice(key)
-            if choice not in candidates:
-                choice = autotune.probe(self, candidates)
-                autotune.store_choice(key, choice)
-        self._engine = choice
-        self._bind_kernels()
+        with self._dispatch:
+            candidates = ["gather"]
+            if scan_mxu.build_planes(self.tables.delta,
+                                     self.tables.nb_outputs) is not None:
+                candidates.append("mxu")
+            st = self._snap.stepped
+            if (st is not None and st.packed is not None
+                    and scan_mxu.build_planes(
+                        self.tables.delta, self.tables.nb_outputs,
+                        max_states=scan_hybrid.MAX_HYBRID_STATES)
+                    is not None):
+                candidates.append("hybrid")
+            choice = "gather"
+            if len(candidates) > 1:
+                key = autotune.geometry_key(self.tables.n_states, self.V,
+                                            self.step_k)
+                choice = None if force else autotune.cached_choice(key)
+                if choice not in candidates:
+                    choice = autotune.probe(self, candidates)
+                    autotune.store_choice(key, choice)
+            self._engine = choice
+            self._bind_kernels()
+
+    def recalibrate(self) -> str:
+        """Re-measure the engine choice on this device NOW (ignoring the
+        cached choice) and rebind — safe against concurrent scans on other
+        threads (serializes on the dispatch lock). Returns the winning
+        engine name."""
+        self._calibrate_engine(force=True)
+        return self._engine
 
     # Snapshot delegation (the snapshot owns tables + device arrays; the
     # scanner owns kernels, layout, and sessions).

@@ -79,22 +79,32 @@ def probe(scanner, candidates, probe_symbols: int = 1 << 21,
           reps: int = 2) -> str:
     """Measure the production count() of each candidate engine on a
     synthetic random corpus; return the fastest engine name. The scanner
-    is rebound per candidate and left on the winner by the caller."""
+    is rebound per candidate and left on the winner by the caller.
+
+    Holds the scanner's dispatch lock (when it has one) for the whole
+    probe: rebinding ``_engine``/kernels must not interleave with a live
+    scan on another thread (VERDICT r3 #7 — previously safe only because
+    calibration was constructor-driven). The lock is reentrant, so the
+    probe's own count() calls re-acquire it without deadlock."""
+    import contextlib
+
     import numpy as np
-    rng = np.random.default_rng(0)
-    ids = rng.integers(0, scanner.V, size=probe_symbols, dtype=np.int32)
-    timings = {}
-    for name in candidates:
-        scanner._engine = name
-        scanner._bind_kernels()
-        scanner.count(ids)  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            scanner.count(ids)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = best
-    winner = min(timings, key=timings.get)
-    scanner.stats["calibration"] = {k: round(v, 5)
-                                    for k, v in timings.items()}
-    return winner
+    lock = getattr(scanner, "_dispatch", None)
+    with (lock if lock is not None else contextlib.nullcontext()):
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, scanner.V, size=probe_symbols, dtype=np.int32)
+        timings = {}
+        for name in candidates:
+            scanner._engine = name
+            scanner._bind_kernels()
+            scanner.count(ids)  # compile + warm
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                scanner.count(ids)
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = best
+        winner = min(timings, key=timings.get)
+        scanner.stats["calibration"] = {k: round(v, 5)
+                                        for k, v in timings.items()}
+        return winner

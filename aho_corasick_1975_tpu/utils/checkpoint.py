@@ -6,8 +6,20 @@ serialization exists). Here the machine serializes losslessly:
 * the trie is stored as its creation-order edge list (prev_state/prev_letter
   per state) — replaying edges in state-id order reconstructs the *identical*
   automaton, including state ids, Meyer inverse-fail sets and output counts;
-* the vocabulary stores (key, representative sign) pairs via numpy's pickle
-  support (signs must be picklable — true for str/bytes/int/tuple alphabets);
+* the vocabulary serializes BY KIND (VERDICT r3 #2 — checkpointing is total
+  over the model family):
+    - "hash"  — the default key_fn Vocab: (key, representative sign) pairs
+      via pickle (signs must be picklable — true for str/bytes/int/tuple
+      alphabets);
+    - "cmp"   — comparator-only Vocab (the reference's full genericity
+      contract, aho_corasick.h:33-38: keys need not be hashable): the same
+      (key, sign) pairs, restored into cmp mode. The comparator itself is
+      code: it round-trips when picklable, otherwise the caller re-supplies
+      it at load (``cmp_fn=``), mirroring the ``key_fn="saved"`` contract.
+      A cmp checkpoint NEVER silently degrades to hash equivalence — load
+      refuses loudly without a comparator;
+    - "byte"  — ByteMachine's fixed 256-symbol alphabet: a marker only
+      (id = byte + 1 by construction, nothing to store);
 * keyword end-states, ranks and user values round-trip as arrays/objects.
 
 ``save_machine``/``load_machine`` give a fully *mutable* machine back —
@@ -17,17 +29,39 @@ sets are rebuilt by the replay, not stored).
 Scan resume is orthogonal and cheap: a scan is a pure function of (tables,
 stream); ``models.scanner.StreamSession`` carries (offset, tail halo) across
 chunks, so a crashed shard simply rescans its chunk (SURVEY.md §5, failure
-detection: scans are stateless and idempotent given the tables).
+detection: scans are stateless and idempotent given the tables —
+exercised end-to-end in tests/test_failure_recovery.py).
 """
 
 from __future__ import annotations
 
+import bisect
 import pickle
 from typing import Any, BinaryIO, Union
 
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v1 = hash-vocab only (still loadable)
+
+_NOT_SAVED = b""  # sentinel blob: callable was not picklable at save time
+
+
+def _pickle_or_marker(fn: Any) -> bytes:
+    """Pickle a user callable if possible; lambdas/closures get the
+    not-saved marker and must be re-supplied at load time."""
+    try:
+        return pickle.dumps(fn)
+    except Exception:
+        return _NOT_SAVED
+
+
+def _vocab_kind(vocab) -> str:
+    from ..models.bytes_machine import _ByteVocab
+    if isinstance(vocab, _ByteVocab):
+        return "byte"
+    if getattr(vocab, "cmp_fn", None) is not None:
+        return "cmp"
+    return "hash"
 
 
 def save_machine(machine, path_or_file: Union[str, BinaryIO]) -> None:
@@ -39,16 +73,25 @@ def save_machine(machine, path_or_file: Union[str, BinaryIO]) -> None:
     is_end = np.asarray(b.is_end, bool)[:S]
     kw_rank = np.asarray(b.kw_rank, np.int32)[:S]
     vocab = machine.vocab
-    vocab_blob = pickle.dumps({
-        "keys": vocab._keys[1:],
-        "signs": vocab._signs[1:],
-    })
+    kind = _vocab_kind(vocab)
+    if kind == "byte":
+        vocab_blob = pickle.dumps(None)   # fixed alphabet: nothing to store
+        key_fn_blob = _NOT_SAVED
+        cmp_fn_blob = _NOT_SAVED
+    else:
+        vocab_blob = pickle.dumps({
+            "keys": vocab._keys[1:],
+            "signs": vocab._signs[1:],
+        })
+        key_fn_blob = _pickle_or_marker(vocab.key_fn)
+        cmp_fn_blob = (_pickle_or_marker(vocab.cmp_fn)
+                       if kind == "cmp" else _NOT_SAVED)
     values_blob = pickle.dumps(machine._values)
-    key_fn_blob = pickle.dumps(machine.vocab.key_fn)
     np.savez_compressed(
         path_or_file,
         format_version=np.int64(FORMAT_VERSION),
         incremental=np.bool_(machine.incremental),
+        vocab_kind=np.bytes_(kind.encode()),
         prev_state=prev_state,
         prev_letter=prev_letter,
         is_end=is_end,
@@ -57,35 +100,86 @@ def save_machine(machine, path_or_file: Union[str, BinaryIO]) -> None:
         vocab=np.frombuffer(vocab_blob, np.uint8),
         values=np.frombuffer(values_blob, np.uint8),
         key_fn=np.frombuffer(key_fn_blob, np.uint8),
+        cmp_fn=np.frombuffer(cmp_fn_blob, np.uint8),
     )
 
 
+def _restore_callable(z, name: str, given: Any, required: bool):
+    """Resolve a user callable at load: "saved" unpickles the stored one
+    (refusing loudly if it was not picklable at save time and ``required``),
+    anything else is used verbatim."""
+    if given != "saved":
+        return given
+    blob = z[name].tobytes() if name in z.files else _NOT_SAVED
+    if blob == _NOT_SAVED:
+        if required:
+            raise ValueError(
+                f"this checkpoint's {name} was not picklable at save time "
+                f"(lambda/closure); pass {name}=<function> to load_machine "
+                "— restoring without it would silently change letter "
+                "equivalence classes")
+        return None
+    return pickle.loads(blob)
+
+
 def load_machine(path_or_file: Union[str, BinaryIO], key_fn: Any = "saved",
-                 backend: str = "auto"):
-    """Reconstruct a mutable Machine. ``key_fn``: "saved" unpickles the
-    stored key function (fails for lambdas/closures — pass the function
-    explicitly then)."""
+                 cmp_fn: Any = "saved", backend: str = "auto"):
+    """Reconstruct a mutable Machine (or ByteMachine, per the saved vocab
+    kind). ``key_fn``/``cmp_fn``: "saved" unpickles the stored function
+    (fails loudly for lambdas/closures — pass the function explicitly
+    then). A comparator-mode checkpoint requires a comparator: there is no
+    silent fallback to hash equivalence."""
+    from ..models.bytes_machine import ByteMachine
     from ..models.machine import Machine
 
     z = np.load(path_or_file, allow_pickle=False)
-    if int(z["format_version"]) != FORMAT_VERSION:
-        raise ValueError(f"unsupported checkpoint version "
-                         f"{int(z['format_version'])}")
-    if key_fn == "saved":
-        key_fn = pickle.loads(z["key_fn"].tobytes())
-    vocab_data = pickle.loads(z["vocab"].tobytes())
+    fmt = int(z["format_version"])
+    if fmt not in (1, FORMAT_VERSION):
+        raise ValueError(f"unsupported checkpoint version {fmt}")
+    kind = (z["vocab_kind"].tobytes().decode()
+            if "vocab_kind" in z.files else "hash")
+    incremental = bool(z["incremental"])
+
+    if kind == "byte":
+        m = ByteMachine(incremental=incremental, backend=backend)
+    elif kind == "cmp":
+        kf = _restore_callable(z, "key_fn", key_fn, required=False)
+        cf = _restore_callable(z, "cmp_fn", cmp_fn, required=True)
+        if cf is None:
+            raise ValueError(
+                "comparator-mode checkpoint loaded without a comparator")
+        m = Machine(key_fn=kf, cmp_fn=cf, incremental=incremental,
+                    backend=backend)
+    else:
+        kf = _restore_callable(z, "key_fn", key_fn, required=True)
+        m = Machine(key_fn=kf, incremental=incremental, backend=backend)
+
+    if kind != "byte":
+        vocab_data = pickle.loads(z["vocab"].tobytes())
+        # Restore the vocabulary exactly (ids and representatives), into
+        # the mode it was saved from: dict map for hash keys, sorted
+        # comparator list for cmp mode.
+        v = m.vocab
+        for k, sign in zip(vocab_data["keys"], vocab_data["signs"]):
+            i = len(v._signs)
+            if v._cmp_key is None:
+                v._ids[k] = i
+            else:
+                w = v._cmp_key(k)
+                pos = bisect.bisect_left(v._sorted_keys, w)
+                if (pos < len(v._sorted_keys)
+                        and v._sorted_keys[pos] == w):
+                    raise ValueError(
+                        "checkpoint vocabulary collapses under the supplied "
+                        "comparator (two saved keys compare equal) — wrong "
+                        "cmp_fn for this checkpoint?")
+                v._sorted_keys.insert(pos, w)
+                v._sorted_ids.insert(pos, i)
+            v._keys.append(k)
+            v._signs.append(sign)
+        v._version += 1  # invalidate encode LUT caches
+
     values = pickle.loads(z["values"].tobytes())
-
-    m = Machine(key_fn=key_fn, incremental=bool(z["incremental"]),
-                backend=backend)
-    # Restore the vocabulary exactly (ids and representatives).
-    v = m.vocab
-    for k, sign in zip(vocab_data["keys"], vocab_data["signs"]):
-        i = len(v._signs)
-        v._ids[k] = i
-        v._keys.append(k)
-        v._signs.append(sign)
-
     prev_state = z["prev_state"]
     prev_letter = z["prev_letter"]
     is_end = z["is_end"]

@@ -64,6 +64,42 @@ def test_single_candidate_skips_probe():
     assert "calibration" not in sc.stats
 
 
+def test_recalibrate_races_no_live_scan(monkeypatch):
+    """VERDICT r3 #7: probe/recalibrate rebinds engine + kernels under the
+    dispatch lock, so concurrent count() calls on other threads never see
+    a half-rebound scanner. Hammer counts on 2 threads while the main
+    thread recalibrates repeatedly; every count must stay exact."""
+    import threading
+    m = _machine(2, n=10)
+    sc = m.scanner(n_streams=16)
+    text = "abab ba bb aab" * 100
+    cur = m.initiate()
+    expected = m.match_stream(cur, text)
+    errors = []
+    stop = threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            got = sc.count(text)
+            if got != expected:
+                errors.append(got)
+                return
+
+    threads = [threading.Thread(target=hammer) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for _ in range(4):
+            eng = sc.recalibrate()
+            assert eng in ("gather", "mxu", "hybrid")
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors, errors
+    assert sc.count(text) == expected
+
+
 def test_sharded_calibrate_parity():
     """ShardedScanner(calibrate=True): the mesh sibling probes its own
     sharded count path and stays conformant."""

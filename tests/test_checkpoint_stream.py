@@ -183,6 +183,104 @@ def test_bulk_restore_at_scale_identical_machine():
         np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f), f)
 
 
+# -- checkpoint totality over the model family (VERDICT r3 #2) -------------
+
+
+class _Opaque:
+    """Unhashable sign with a total order (module-level: picklable)."""
+
+    __hash__ = None
+
+    def __init__(self, v):
+        self.v = v
+
+
+def _opaque_cmp(a, b):
+    return (a.v > b.v) - (a.v < b.v)
+
+
+def _opaque_kw(s):
+    return [_Opaque(c) for c in s]
+
+
+def test_byte_machine_roundtrip():
+    from aho_corasick_1975_tpu.models.bytes_machine import ByteMachine
+    m = ByteMachine()
+    for w in [b"he", b"she", "héé", b"hers"]:
+        m.insert_keyword(w, value=w)
+    buf = io.BytesIO()
+    ckpt.save_machine(m, buf)
+    buf.seek(0)
+    m2 = ckpt.load_machine(buf)
+    assert isinstance(m2, ByteMachine)
+    t1, t2 = m.compile(), m2.compile()
+    for f in TABLE_FIELDS:
+        np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f), f)
+    text = "ushers héé hers"
+    assert m2.scanner(n_streams=4).count(text) == \
+        m.scanner(n_streams=4).count(text) > 0
+    # fully mutable after restore
+    m.insert_keyword(b"zz")
+    m2.insert_keyword(b"zz")
+    t1, t2 = m.compile(), m2.compile()
+    for f in TABLE_FIELDS:
+        np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f), f)
+
+
+def test_cmp_machine_roundtrip_unhashable_keys():
+    m = ac.Machine(cmp_fn=_opaque_cmp)
+    for kw in ["he", "she", "his", "hers"]:
+        m.insert_keyword(_opaque_kw(kw), value=kw)
+    buf = io.BytesIO()
+    ckpt.save_machine(m, buf)
+    buf.seek(0)
+    m2 = ckpt.load_machine(buf)
+    assert m2.vocab.cmp_fn is _opaque_cmp  # restored INTO cmp mode
+    t1, t2 = m.compile(), m2.compile()
+    for f in TABLE_FIELDS:
+        np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f), f)
+    # comparator equivalence classes survive: a DIFFERENT Opaque object
+    # comparing equal to a known letter still encodes to the same id
+    text = _opaque_kw("ushers")
+    assert m2.scanner(n_streams=2).count(text) == 3
+    assert sorted(k.value for k in m2.keywords()) == \
+        sorted(k.value for k in m.keywords())
+    # continued insertion in cmp mode
+    m.insert_keyword(_opaque_kw("is"))
+    m2.insert_keyword(_opaque_kw("is"))
+    t1, t2 = m.compile(), m2.compile()
+    for f in TABLE_FIELDS:
+        np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f), f)
+
+
+def test_cmp_checkpoint_refuses_silent_degrade():
+    """A comparator checkpoint whose cmp_fn was a lambda must demand the
+    comparator at load — never silently fall back to hash equivalence."""
+    m = ac.Machine(cmp_fn=lambda a, b: (a.v > b.v) - (a.v < b.v))
+    m.insert_keyword(_opaque_kw("he"))
+    buf = io.BytesIO()
+    ckpt.save_machine(m, buf)
+    buf.seek(0)
+    with pytest.raises(ValueError, match="cmp_fn"):
+        ckpt.load_machine(buf)
+    buf.seek(0)
+    m2 = ckpt.load_machine(buf, cmp_fn=_opaque_cmp)  # explicit: fine
+    assert m2.scanner(n_streams=2).count(_opaque_kw("he")) == 1
+
+
+def test_lambda_key_fn_requires_explicit_restore():
+    m = ac.Machine(key_fn=lambda ch: ch.lower())
+    m.insert_keyword("He")
+    buf = io.BytesIO()
+    ckpt.save_machine(m, buf)   # must not crash on the unpicklable lambda
+    buf.seek(0)
+    with pytest.raises(ValueError, match="key_fn"):
+        ckpt.load_machine(buf)
+    buf.seek(0)
+    m2 = ckpt.load_machine(buf, key_fn=str.lower)
+    assert m2.scanner(n_streams=2).count("SHE") == 1
+
+
 def test_bulk_restore_ac75_mode():
     m = build(7)
     # AC75 (non-incremental) machines replay through the same bulk path
