@@ -1041,7 +1041,12 @@ class DenseScanner:
         return MatchSet(self.machine, self.tables, ends, end_states, idx)
 
     def _find_matches_device(self, signs, offset, head, max_hits):
-        from ..ops.hits import make_blocked_hits_raw, make_blocked_hits_stream
+        from ..ops.hits import (make_blocked_hits_raw,
+                                make_blocked_hits_stream,
+                                make_stepped_hits_extract,
+                                make_stepped_hits_extract_raw,
+                                make_stepped_hits_scan,
+                                make_stepped_hits_scan_raw)
         if len(signs) == 0:
             return []
         t0 = time.perf_counter()
@@ -1052,19 +1057,102 @@ class DenseScanner:
                              time.perf_counter() - t0)
                 return out
         raw = self._raw_stream(signs)
+        st = self._stepped
+        # Retrieval at engine speed (VERDICT r3 #3): when the packed
+        # k-gram table exists, the sequential leg is the count kernel's
+        # one-gather-per-k-symbols scan; only live grams get per-position
+        # refinement. The MXU small-automaton engine keeps the dense core
+        # (its planes carry no position info, and small automata are
+        # cheap either way).
+        use_stepped = (st is not None and st.packed is not None
+                       and self._mxu is None)
+        max_hits = int(max_hits)
         with self._dispatch:
-            if raw is not None:
+            if use_stepped:
+                # Two-phase: the count-speed scan emits per-gram packed
+                # (pre_state, count) words and a 4-byte live count; the
+                # extract phase is compiled at a pow2 cap bucket of the
+                # ACTUAL live-gram count, so refinement cost tracks the
+                # corpus's match density, not the user's max_hits bound.
+                if raw is not None:
+                    ext, head_ids, B, L, T = self._stream_ext_raw(
+                        raw[0], head, self._halo_sym, 128 * st.k)
+                    scan_fn = make_stepped_hits_scan_raw(
+                        st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
+                        B, L)
+                    emit, _, n_live_dev = scan_fn(self._st_dev[0],
+                                                  raw[1][0], ext, head_ids)
+                else:
+                    ids = self.encode(signs)
+                    ext, B, L, T = self._stream_ext(ids, head,
+                                                    self._halo_sym,
+                                                    128 * st.k)
+                    scan_fn = make_stepped_hits_scan(
+                        st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
+                        B, L)
+                    emit, _, n_live_dev = scan_fn(self._st_dev[0], ext)
+                n_live = int(n_live_dev)  # the one tiny host sync
+                if n_live > max_hits:
+                    raise ValueError(
+                        f"at least {n_live} matching positions exceed "
+                        f"max_hits={max_hits}; raise max_hits or chunk the "
+                        "stream with a session")
+                if n_live == 0:
+                    positions = np.zeros(0, np.int64)
+                    sts = np.zeros(0, np.int32)
+                    n_hit_pos = 0
+                else:
+                    # Density-adaptive phase B: past ~1/8 live grams the
+                    # input-size-bound dense refinement beats the
+                    # compaction path, whose cost scales with the live
+                    # count (both measured on v5e — ops/hits.py).
+                    pk1 = self._pk1()
+                    n_grams = (B * L) // st.k
+                    if pk1 is not None and n_live * 8 > n_grams:
+                        from ..ops.hits import (
+                            make_stepped_hits_extract_dense,
+                            make_stepped_hits_extract_dense_raw)
+                        if raw is not None:
+                            ex_fn = make_stepped_hits_extract_dense_raw(
+                                st.V, st.k, st.count_bits, pk1[1],
+                                self._halo_steps, max_hits, B, L)
+                            positions, sts, n_hit_pos = ex_fn(
+                                pk1[0], raw[1][0], ext, emit)
+                        else:
+                            ex_fn = make_stepped_hits_extract_dense(
+                                st.V, st.k, st.count_bits, pk1[1],
+                                self._halo_steps, max_hits, B, L)
+                            positions, sts, n_hit_pos = ex_fn(
+                                pk1[0], ext, emit)
+                    elif raw is not None:
+                        cap = max(8, 1 << (n_live - 1).bit_length())
+                        out_size = min(max_hits, cap * st.k)
+                        ex_fn = make_stepped_hits_extract_raw(
+                            st.V, st.k, st.count_bits, self._halo_steps,
+                            cap, out_size, B, L)
+                        positions, sts, n_hit_pos = ex_fn(
+                            self._dflat, self._nb_out, raw[1][0], ext,
+                            emit)
+                    else:
+                        cap = max(8, 1 << (n_live - 1).bit_length())
+                        out_size = min(max_hits, cap * st.k)
+                        ex_fn = make_stepped_hits_extract(
+                            st.V, st.k, st.count_bits, self._halo_steps,
+                            cap, out_size, B, L)
+                        positions, sts, n_hit_pos = ex_fn(
+                            self._dflat, self._nb_out, ext, emit)
+            elif raw is not None:
                 ext, head_ids, B, L, T = self._stream_ext_raw(
                     raw[0], head, self.halo, 128)
                 fn = make_blocked_hits_raw(self.V, self.halo,
-                                           int(max_hits), B, L)
+                                           max_hits, B, L)
                 positions, sts, n_hits, n_hit_pos = fn(
                     self._dflat, self._nb_out, raw[1][0], ext, head_ids)
             else:
                 ids = self.encode(signs)
                 ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
                 fn = make_blocked_hits_stream(self.V, self.halo,
-                                              int(max_hits), B, L)
+                                              max_hits, B, L)
                 positions, sts, n_hits, n_hit_pos = fn(self._dflat,
                                                        self._nb_out, ext)
             n_hit_pos = int(n_hit_pos)
@@ -1084,6 +1172,39 @@ class DenseScanner:
             positions[order], sts[order], self.tables, offset)
         self._record("find_matches_device", T, time.perf_counter() - t0)
         return MatchSet(self.machine, self.tables, ends, end_states, idx)
+
+    def _pk1(self):
+        """Packed k=1 table ((next_state << cb1) | nb) for the dense
+        extract variant of the stepped hits path — ONE gather per refined
+        position instead of dflat + nb_out. Reuses the snapshot's own
+        packed table when step_k == 1; otherwise built lazily (native
+        threaded compose) and cached per table version (a refresh
+        invalidates; retrieval-heavy serving re-pays one table build +
+        upload per dictionary change). Returns (device_array, cb1) or
+        None when (state_bits + cb1) exceeds the int32 packing."""
+        st = self._stepped
+        if st is not None and st.k == 1 and st.packed is not None:
+            return self._st_dev[0], st.count_bits
+        ver = self.tables.version
+        c = getattr(self, "_pk1_cache", None)
+        if c is not None and c[0] == ver:
+            return c[1]
+        cb1 = max(1, int(self._snap.max_nb).bit_length())
+        state_bits = max(1, int(self.tables.n_states - 1).bit_length())
+        entry = None
+        if state_bits + cb1 <= 31:
+            try:
+                from ..core.native import compose_pack
+                pk1 = compose_pack(self.tables.delta,
+                                   self.tables.nb_outputs, 1, cb1)
+            except Exception:
+                d = self.tables.delta
+                pk1 = ((d.astype(np.int64) << cb1)
+                       | self.tables.nb_outputs[d]).astype(
+                           np.int32).reshape(-1)
+            entry = (jnp.asarray(pk1), cb1)
+        self._pk1_cache = (ver, entry)
+        return entry
 
     def _sparse_hits(self, signs, offset, head, max_hits):
         """Filter-then-extract match retrieval (the sparse companion of

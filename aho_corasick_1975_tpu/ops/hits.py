@@ -15,6 +15,22 @@ returns only the hits:
 This is the two-phase count+extract design from SURVEY.md §7 ("hard
 parts": match-output extraction on device), with the prefix-sum replaced
 by XLA's fused nonzero.
+
+Two kernel families:
+
+* ``make_blocked_hits*`` — the 1-char dense-table scan (2 sequential
+  gathers per symbol). The original retrieval core; still used when no
+  packed stepped table exists (and by the MXU small-automaton engine).
+* ``make_stepped_hits*`` — retrieval at COUNT-ENGINE speed (VERDICT r3
+  #3): the sequential leg is the packed k-gram scan (ONE gather per k
+  symbols, exactly the count kernel's recurrence), emitting per gram a
+  single packed word (pre_state << count_bits) | gram_count. Grams whose
+  count bits are zero contain no match end (the k-gram count is the sum
+  of the k per-position counts); only LIVE grams are refined — their k
+  per-position states re-derived through the dense table with
+  embarrassingly-parallel gathers (no serial dependency, so they run at
+  HBM gather bandwidth, not at the sequential-chain rate that bounds the
+  scan). Retrieval's sequential cost thus equals count()'s.
 """
 
 from __future__ import annotations
@@ -95,3 +111,249 @@ def make_blocked_hits_raw(V: int, halo: int, max_hits: int, B: int, L: int):
         return inner(dflat, nb_out, win)
 
     return hits
+
+
+# -- packed k-gram retrieval (count-engine speed) ---------------------------
+
+
+def _compact(mask, size: int):
+    """Ordered indices of True entries, -1-padded to ``size`` — the
+    jnp.nonzero(size=..., fill_value=-1) contract via cumsum + scatter,
+    measured 1.5x faster than XLA's sort-based nonzero at 33M elements on
+    v5e (entries past ``size`` are dropped, exactly like nonzero's
+    truncation)."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask, pos, size)            # out-of-range -> dropped
+    out = jnp.full((size,), -1, jnp.int32)
+    return out.at[tgt].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+
+def _stepped_emit_scan(V: int, k: int, Vk: int, count_bits: int,
+                       halo_steps: int, packed, win):
+    """The sequential leg: the count engine's packed k-gram recurrence,
+    emitting one int32 per gram — (pre_state << count_bits) | gram_count.
+    The packing invariant state_bits + count_bits <= 31 is the packed
+    table's own (ops/multistep.build_stepped). Returns (emit [Lk, B],
+    n_hits, n_live)."""
+    from .multistep import combine_grams
+
+    mask = (1 << count_bits) - 1
+    grams = combine_grams(win, V, k)                 # [Lk, B]
+    s0 = grams[0] * 0
+
+    def step(s, g):
+        v = packed[s * Vk + g]
+        return v >> count_bits, (s << count_bits) | (v & mask)
+
+    _, emit = lax.scan(step, s0, grams)              # [Lk, B]
+    body = emit[halo_steps:]
+    n_hits = jnp.sum(body & mask, dtype=jnp.int32)
+    n_live = jnp.sum((body & mask) > 0, dtype=jnp.int32)
+    return emit, n_hits, n_live
+
+
+def _hits_extract(V: int, k: int, count_bits: int, halo_steps: int,
+                  cap: int, out_size: int, emit, sym_at, dflat, nb_out):
+    """Refine the live grams of an emit array into per-position hits.
+
+    ``cap`` bounds the live grams refined (pick a pow2 bucket of the
+    actual live count — cost scales with density, not with the user's
+    max_hits); ``sym_at(p)`` gathers the symbol at stream position p
+    (1-D gathers from the staged ext — measured ~2x the 2-D window
+    gather's throughput). Returns (positions[out_size] ascending, -1 pad;
+    states[out_size]; n_hit_pos exact when the live count fit cap)."""
+    mask_c = (1 << count_bits) - 1
+    body = emit[halo_steps:]
+    Lkb = body.shape[0]
+    L = Lkb * k
+    flat = body.T.reshape(-1)                        # stream-order grams
+    live = (flat & mask_c) > 0
+    gidx = _compact(live, cap)
+    valid = gidx >= 0
+    safe = jnp.maximum(gidx, 0)
+    b = safe // Lkb
+    tg = safe % Lkb
+    s = flat[safe] >> count_bits                     # pre-gram state
+    pos0 = b * L + tg * k
+    # k dense-table steps over the live grams only — embarrassingly
+    # parallel bulk gathers (no sequential chain).
+    states_j, cnt_j = [], []
+    for j in range(k):
+        s = dflat[s * V + sym_at(pos0 + j)]
+        states_j.append(s)
+        cnt_j.append(nb_out[s])
+    states_ck = jnp.stack(states_j, axis=1)          # [cap, k]
+    cnts_ck = jnp.stack(cnt_j, axis=1)
+    hit = (cnts_ck > 0) & valid[:, None]
+    n_hit_pos = jnp.sum(hit, dtype=jnp.int32)
+    fidx = _compact(hit.reshape(-1), out_size)
+    fvalid = fidx >= 0
+    fsafe = jnp.maximum(fidx, 0)
+    pos_ck = pos0[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    positions = jnp.where(fvalid, pos_ck.reshape(-1)[fsafe], -1)
+    sts = jnp.where(fvalid, states_ck.reshape(-1)[fsafe], 0)
+    return positions, sts, n_hit_pos
+
+
+def stepped_hits_core(V: int, k: int, Vk: int, count_bits: int,
+                      halo_steps: int, max_hits: int,
+                      packed, dflat, nb_out, ext, win):
+    """Single-pass packed-k-gram bounded-hit extraction (scan + extract in
+    one traced body — the shard_map per-device kernel, where a host sync
+    between phases would cost a collective round).
+
+    ext: the [halo_steps*k + B*L] contiguous symbol stream the win layout
+    was built from (1-D symbol gathers); win: [halo_steps*k + L, B].
+    Returns (positions[max_hits] ascending (-1 pad), states[max_hits],
+    n_hits, n_hit_pos, n_live). Callers must treat ``n_live > max_hits``
+    as overflow (refinement truncated; n_hit_pos is then a lower bound)
+    and ``n_hit_pos > max_hits`` as extraction overflow."""
+    emit, n_hits, n_live = _stepped_emit_scan(V, k, Vk, count_bits,
+                                              halo_steps, packed, win)
+    halo_sym = halo_steps * k
+    positions, sts, n_hit_pos = _hits_extract(
+        V, k, count_bits, halo_steps, max_hits, max_hits, emit,
+        lambda p: ext[halo_sym + p], dflat, nb_out)
+    return positions, sts, n_hits, n_hit_pos, n_live
+
+
+@lru_cache(maxsize=None)
+def make_stepped_hits_scan(V: int, k: int, Vk: int, count_bits: int,
+                           halo_steps: int, B: int, L: int):
+    """Phase A (stream input): the packed k-gram scan over ext
+    [halo_steps*k + B*L], returning (emit [Lk, B] device-resident,
+    n_hits, n_live). The caller syncs only the two scalars, picks a pow2
+    cap bucket from n_live, and feeds emit to the extract phase — so
+    extraction cost tracks the corpus's actual match density."""
+    from .scan_xla import window_layout
+
+    @jax.jit
+    def scan(packed, ext):
+        win = window_layout(ext, B, L, halo_steps * k)
+        return _stepped_emit_scan(V, k, Vk, count_bits, halo_steps,
+                                  packed, win)
+
+    return scan
+
+
+@lru_cache(maxsize=None)
+def make_stepped_hits_scan_raw(V: int, k: int, Vk: int, count_bits: int,
+                               halo_steps: int, B: int, L: int):
+    """Phase A, raw input (device-side encode via the replicated lut,
+    scan_xla.raw_window staging contract)."""
+    from .scan_xla import raw_window
+
+    @jax.jit
+    def scan(packed, lut, ext_raw, head_ids):
+        win = raw_window(lut, ext_raw, head_ids, B, L, halo_steps * k)
+        return _stepped_emit_scan(V, k, Vk, count_bits, halo_steps,
+                                  packed, win)
+
+    return scan
+
+
+@lru_cache(maxsize=None)
+def make_stepped_hits_extract(V: int, k: int, count_bits: int,
+                              halo_steps: int, cap: int, out_size: int,
+                              B: int, L: int):
+    """Phase B (stream input): (dflat, nb_out, ext, emit) ->
+    (positions[out_size], states[out_size], n_hit_pos)."""
+    halo_sym = halo_steps * k
+
+    @jax.jit
+    def extract(dflat, nb_out, ext, emit):
+        return _hits_extract(V, k, count_bits, halo_steps, cap, out_size,
+                             emit, lambda p: ext[halo_sym + p],
+                             dflat, nb_out)
+
+    return extract
+
+
+@lru_cache(maxsize=None)
+def make_stepped_hits_extract_raw(V: int, k: int, count_bits: int,
+                                  halo_steps: int, cap: int, out_size: int,
+                                  B: int, L: int):
+    """Phase B, raw input: symbols gather through the lut from the raw
+    ext (body positions only — the head override lives in the warm-up
+    rows, already baked into emit's states)."""
+    halo_sym = halo_steps * k
+
+    @jax.jit
+    def extract(dflat, nb_out, lut, ext_raw, emit):
+        return _hits_extract(
+            V, k, count_bits, halo_steps, cap, out_size, emit,
+            lambda p: lut[ext_raw[halo_sym + p].astype(jnp.int32)],
+            dflat, nb_out)
+
+    return extract
+
+
+def _hits_extract_dense(V: int, k: int, count_bits: int, cb1: int,
+                        halo_steps: int, max_hits: int, pk1, emit, syms):
+    """Phase B for MATCH-DENSE corpora: refine EVERY position instead of
+    compacting live grams first. pk1 is the packed k=1 table
+    ((next_state << cb1) | nb) — ONE gather per position instead of
+    dflat + nb_out; syms: [L, B] body symbols. A single cumsum +
+    value-scatter compaction then lands the hits in stream order. All
+    costs are input-size-bound (no cap), so this variant's time is flat
+    in density — measured 1.87 s vs 3.38 s for the compact path at the
+    headline config's 29%-live-gram density (v5e), while the compact
+    path stays far cheaper at low density (cost ∝ live grams)."""
+    m1 = (1 << cb1) - 1
+    body = emit[halo_steps:]                         # [Lkb, B]
+    Lkb, B = body.shape
+    s = body >> count_bits                           # pre-gram states
+    cnt_parts, st_parts = [], []
+    for j in range(k):
+        v = pk1[s * V + syms[j::k]]
+        s = v >> cb1
+        cnt_parts.append(v & m1)
+        st_parts.append(s)
+    cnts = jnp.stack(cnt_parts, axis=1).reshape(Lkb * k, B)
+    stts = jnp.stack(st_parts, axis=1).reshape(Lkb * k, B)
+    flat_cnt = cnts.T.reshape(-1)                    # stream order
+    flat_st = stts.T.reshape(-1)
+    hit = flat_cnt > 0
+    n_hit_pos = jnp.sum(hit, dtype=jnp.int32)
+    pos = jnp.cumsum(hit.astype(jnp.int32)) - 1
+    tgt = jnp.where(hit, pos, max_hits)              # overflow -> dropped
+    iota = jnp.arange(flat_cnt.shape[0], dtype=jnp.int32)
+    positions = jnp.full((max_hits,), -1,
+                         jnp.int32).at[tgt].set(iota, mode="drop")
+    states = jnp.zeros((max_hits,),
+                       jnp.int32).at[tgt].set(flat_st, mode="drop")
+    return positions, states, n_hit_pos
+
+
+@lru_cache(maxsize=None)
+def make_stepped_hits_extract_dense(V: int, k: int, count_bits: int,
+                                    cb1: int, halo_steps: int,
+                                    max_hits: int, B: int, L: int):
+    """Dense phase B (stream input): (pk1, ext, emit) ->
+    (positions[max_hits], states[max_hits], n_hit_pos)."""
+    halo_sym = halo_steps * k
+
+    @jax.jit
+    def extract(pk1, ext, emit):
+        syms = ext[halo_sym:].reshape(B, L).T        # body symbols [L, B]
+        return _hits_extract_dense(V, k, count_bits, cb1, halo_steps,
+                                   max_hits, pk1, emit, syms)
+
+    return extract
+
+
+@lru_cache(maxsize=None)
+def make_stepped_hits_extract_dense_raw(V: int, k: int, count_bits: int,
+                                        cb1: int, halo_steps: int,
+                                        max_hits: int, B: int, L: int):
+    """Dense phase B, raw input (encode through the replicated lut)."""
+    halo_sym = halo_steps * k
+
+    @jax.jit
+    def extract(pk1, lut, ext_raw, emit):
+        syms = lut[ext_raw[halo_sym:].astype(jnp.int32)].reshape(B, L).T
+        return _hits_extract_dense(V, k, count_bits, cb1, halo_steps,
+                                   max_hits, pk1, emit, syms)
+
+    return extract

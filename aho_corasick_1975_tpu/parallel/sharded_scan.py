@@ -432,6 +432,60 @@ def make_sharded_hits(mesh: Mesh, V: int, halo: int, max_hits_per_shard: int,
 
 
 @lru_cache(maxsize=None)
+def make_sharded_stepped_hits(mesh: Mesh, V: int, k: int, Vk: int,
+                              count_bits: int, halo_steps: int,
+                              max_hits_per_shard: int,
+                              n_streams_per_device: int = 256,
+                              axis_name: str = DATA_AXIS):
+    """Mesh-wide bounded hits at count-engine speed (the sharded sibling of
+    ops/hits.make_stepped_hits_stream, VERDICT r3 #3): each shard runs the
+    packed k-gram scan, refines only its live grams, and the bounded
+    buffers all_gather back replicated with absolute stream positions.
+
+    Returns jitted hits(packed, dflat, nb_out, ids[, head]) ->
+      (positions [D, max], states [D, max], n_hit_pos [D], n_live [D]).
+    Overflow contract per shard: n_live > max is truncation (n_hit_pos a
+    lower bound), n_hit_pos > max is extraction overflow."""
+    from ..ops.hits import stepped_hits_core
+    n_dev = mesh.shape[axis_name]
+    halo_sym = halo_steps * k
+
+    def local_hits(packed, dflat, nb_out, head, ids_local):
+        ids_local = ids_local.reshape(-1)
+        Tl = ids_local.shape[0]
+        left = _right_shift_halo(ids_local, halo_sym, axis_name, n_dev,
+                                 head)
+        unit = 64 * k
+        B = min(n_streams_per_device, max(1, Tl // unit))
+        L = -(-(-(-Tl // B)) // unit) * unit
+        pad = B * L - Tl
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
+        win = window_layout(ext, B, L, halo_sym)
+        positions, sts, _, n_hit_pos, n_live = stepped_hits_core(
+            V, k, Vk, count_bits, halo_steps, max_hits_per_shard,
+            packed, dflat, nb_out, ext, win)
+        shard_base = lax.axis_index(axis_name) * Tl
+        positions = jnp.where(positions >= 0, positions + shard_base, -1)
+        return (lax.all_gather(positions, axis_name),
+                lax.all_gather(sts, axis_name),
+                lax.all_gather(n_hit_pos, axis_name),
+                lax.all_gather(n_live, axis_name))
+
+    inner = jax.jit(jax.shard_map(
+        local_hits, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name)),
+        out_specs=(P(), P(), P(), P()), check_vma=False))
+
+    def fn(packed, dflat, nb_out, ids, head=None):
+        if head is None:
+            head = np.zeros(halo_sym, np.int32)
+        return inner(packed, dflat, nb_out, head, ids)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
 def make_sharded_sparse_hits(mesh: Mesh, V: int, halo: int, L_blk: int,
                              nB_loc: int, cap: int,
                              max_hits_per_shard: int,
@@ -1023,14 +1077,30 @@ class ShardedScanner:
             out = self._sparse_hits(ids, offset, head, key)
             if out is not None:
                 return out
-        # lru-cached factory: recompiles only for a new (halo, max_hits,...)
-        hits_fn = make_sharded_hits(self.mesh, self.V, self.halo, key,
-                                    self._n_streams_per_device,
-                                    self.axis_name)
+        st = self._stepped
         placed, T = self._pad_and_place(ids)
-        positions, sts, n_hit_pos = hits_fn(
-            self._dflat, self._nb_out, placed,
-            head=self._head_arr(head, self.halo))
+        if st is not None and st.packed is not None and self._mxu is None:
+            # Retrieval at count-engine speed (VERDICT r3 #3), mesh-wide.
+            hits_fn = make_sharded_stepped_hits(
+                self.mesh, st.V, st.k, st.Vk, st.count_bits,
+                self._halo_steps, key, self._n_streams_per_device,
+                self.axis_name)
+            positions, sts, n_hit_pos, n_live = hits_fn(
+                self._st_packed, self._dflat, self._nb_out, placed,
+                head=self._head_arr(head, self._halo_sym))
+            n_live = np.asarray(n_live)
+            if int(n_live.max()) > key:
+                raise ValueError(
+                    f"a shard has at least {int(n_live.max())} matching "
+                    f"positions, over max_hits_per_shard={key}")
+        else:
+            # lru-cached factory: recompiles only for a new (halo, max,...)
+            hits_fn = make_sharded_hits(self.mesh, self.V, self.halo, key,
+                                        self._n_streams_per_device,
+                                        self.axis_name)
+            positions, sts, n_hit_pos = hits_fn(
+                self._dflat, self._nb_out, placed,
+                head=self._head_arr(head, self.halo))
         n_hit_pos = np.asarray(n_hit_pos)
         if int(n_hit_pos.max()) > key:
             raise ValueError(

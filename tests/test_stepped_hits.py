@@ -1,0 +1,197 @@
+"""Packed k-gram bounded-hit retrieval (VERDICT r3 #3: retrieval at
+count-engine speed). The sequential leg of find_matches(max_hits=...) is
+now the same one-gather-per-k-symbols packed scan the count engine runs;
+only live grams (count bits != 0) get per-position refinement. Parity bar:
+byte-identical MatchSets vs the full-decode path (itself oracle-verified
+against the sequential reference recurrence), including session carries,
+raw device-encode inputs, k=1 packed tables, and the sharded sibling.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import aho_corasick_1975_tpu as ac
+
+
+def _events(ms):
+    return [(ev.end, ev.start, mt.text(), mt.rank) for ev, mt in ms]
+
+
+def _machine(seed=0, n=60, alpha="abc"):
+    rng = random.Random(seed)
+    m = ac.Machine()
+    for i in range(n):
+        m.insert_keyword("".join(rng.choice(alpha)
+                                 for _ in range(rng.randint(1, 6))),
+                         value=i)
+    return m
+
+
+def _text(seed, n=30_000, alpha="abcx "):
+    rng = random.Random(seed)
+    return "".join(rng.choice(alpha) for _ in range(n))
+
+
+@pytest.fixture
+def sc_k2():
+    m = _machine()
+    sc = m.scanner(n_streams=8, step_k=2)
+    st = sc._stepped
+    assert st is not None and st.k == 2 and st.packed is not None
+    return sc
+
+
+def test_stepped_hits_parity_vs_full_decode(sc_k2):
+    text = _text(1)
+    full = sc_k2.find_matches(text)
+    fast = sc_k2.find_matches(text, max_hits=1 << 14)
+    assert len(fast) == len(full) > 0
+    assert _events(fast) == _events(full)
+
+
+def test_stepped_hits_is_really_the_stepped_kernel(sc_k2, monkeypatch):
+    """The dense bounded-hits factories must NOT be touched when the
+    packed table exists (guards against a silent fallback)."""
+    from aho_corasick_1975_tpu.ops import hits as hits_mod
+
+    def boom(*a, **kw):
+        raise AssertionError("dense hits kernel used on the stepped path")
+
+    monkeypatch.setattr(hits_mod, "make_blocked_hits_stream", boom)
+    monkeypatch.setattr(hits_mod, "make_blocked_hits_raw", boom)
+    text = _text(2, 5000)
+    full = sc_k2.find_matches(text)
+    fast = sc_k2.find_matches(text, max_hits=4096)
+    assert _events(fast) == _events(full)
+
+
+def test_stepped_hits_raw_bytes_path():
+    m = ac.Machine()
+    for w in [b"he", b"she", b"his", b"hers", b"xyzzyx"]:
+        m.insert_keyword(w)
+    sc = m.scanner(n_streams=8, step_k=2)
+    assert sc._stepped is not None and sc._stepped.packed is not None
+    rng = random.Random(3)
+    text = "".join(rng.choice("hersxyz ") for _ in range(40_000)).encode()
+    assert sc._raw_stream(text) is not None
+    full = sc.find_matches(text)
+    fast = sc.find_matches(text, max_hits=1 << 14)
+    assert _events(fast) == _events(full) != []
+
+
+def test_stepped_hits_session_head_carry(sc_k2):
+    """Matches spanning a chunk edge keep exact absolute positions."""
+    text = _text(4, 9_000)
+    whole = _events(sc_k2.find_matches(text, max_hits=1 << 13))
+    sess = sc_k2.session()
+    got = []
+    pos, rng = 0, random.Random(5)
+    while pos < len(text):
+        n = rng.choice([7, 100, 1000])
+        chunk = text[pos:pos + n]
+        offset = sess.offset
+        head = sess._advance(chunk)
+        if chunk:
+            got += _events(sc_k2.find_matches(chunk, offset=offset,
+                                              head=head, max_hits=1 << 13))
+        pos += n
+    assert got == whole
+
+
+def test_stepped_hits_overflow_raises(sc_k2):
+    text = "abcabc" * 2000
+    n = len(sc_k2.find_matches(text))
+    with pytest.raises(ValueError, match="max_hits"):
+        sc_k2.find_matches(text, max_hits=max(8, n // 4))
+
+
+def test_both_extract_variants_parity(monkeypatch):
+    """The density-adaptive phase B has two implementations; both must be
+    byte-identical to full decode. A machine with a 1-char keyword over
+    an all-'a' corpus makes EVERY position a hit (dense variant
+    guaranteed: n_live == n_grams); forcing _pk1 to None on the same
+    corpus exercises the compacting variant at the same density."""
+    m = ac.Machine()
+    for w in ["a", "aba", "bb"]:
+        m.insert_keyword(w)
+    sc = m.scanner(n_streams=8, step_k=2)
+    assert sc._stepped is not None and sc._stepped.packed is not None
+    text = "a" * 10_000 + "bbb" + "ab" * 500
+    full = _events(sc.find_matches(text))
+    assert len(full) > 10_000
+    dense = _events(sc.find_matches(text, max_hits=1 << 15))
+    assert dense == full
+    # same corpus through the compacting variant
+    monkeypatch.setattr(type(sc), "_pk1", lambda self: None)
+    compact = _events(sc.find_matches(text, max_hits=1 << 15))
+    assert compact == full
+
+
+def test_sparse_density_uses_compact_variant(sc_k2):
+    """Low-density corpus: one match in 12k symbols (compact variant by
+    the n_live*8 > n_grams threshold)."""
+    text = "x" * 11_000 + "abc" + "x" * 1000
+    full = _events(sc_k2.find_matches(text))
+    fast = _events(sc_k2.find_matches(text, max_hits=64))
+    assert fast == full
+
+
+def test_k1_packed_hits_parity():
+    """Big-automaton path: the k=1 packed table also powers retrieval."""
+    m = _machine(7, n=600, alpha="abcdefgh")
+    sc = m.scanner(step_budget_bytes=1 << 17, n_streams=16)
+    st = sc._stepped
+    assert st is not None and st.k == 1 and st.packed is not None
+    text = _text(8, 25_000, "abcdefghij ")
+    full = sc.find_matches(text)
+    fast = sc.find_matches(text, max_hits=1 << 16)
+    assert _events(fast) == _events(full) != []
+
+
+def test_mxu_engine_keeps_dense_hits_and_agrees():
+    m = ac.Machine()
+    for w in ["ab", "ba", "aab"]:
+        m.insert_keyword(w)
+    sc = m.scanner(engine="mxu", n_streams=4)
+    assert sc._mxu is not None
+    text = _text(9, 8_000, "ab ")
+    full = sc.find_matches(text)
+    fast = sc.find_matches(text, max_hits=1 << 12)
+    assert _events(fast) == _events(full) != []
+
+
+def test_sharded_stepped_hits_parity():
+    import jax
+
+    from aho_corasick_1975_tpu.parallel.mesh import make_mesh
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+    assert len(jax.devices()) >= 8
+    m = _machine(10)
+    sh = ShardedScanner(m, make_mesh(8), n_streams_per_device=4, step_k=2)
+    assert sh._stepped is not None and sh._stepped.packed is not None
+    text = list(_text(11, 20_000))
+    m.insert_keyword("spanner")
+    sh2 = ShardedScanner(m, make_mesh(8), n_streams_per_device=4, step_k=2)
+    for edge in (2500, 5000, 10_000):  # plant across shard boundaries
+        text[edge - 3:edge + 4] = "spanner"
+    text = "".join(text)
+    full = sh2.find_matches(text)
+    fast = sh2.find_matches(text, max_hits_per_shard=1 << 13)
+    assert _events(fast) == _events(full) != []
+    single = m.scanner(n_streams=8).find_matches(text)
+    assert _events(fast) == _events(single)
+
+
+def test_sharded_stepped_hits_overflow_raises():
+    import jax
+
+    from aho_corasick_1975_tpu.parallel.mesh import make_mesh
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+    assert len(jax.devices()) >= 8
+    m = _machine(12)
+    sh = ShardedScanner(m, make_mesh(8), n_streams_per_device=4, step_k=2)
+    text = "abcabc" * 4000
+    with pytest.raises(ValueError, match="max_hits_per_shard"):
+        sh.find_matches(text, max_hits_per_shard=8)
