@@ -572,6 +572,19 @@ class DenseScanner:
             self._record("count", int(signs.shape[0]),
                          time.perf_counter() - t0)
             return n
+        if self._prefilter != "off" and not _is_device_array(signs) \
+                and len(signs):
+            # Raw-input elision: filter + window-gather BEFORE any encode
+            # (two bandwidth passes over the raw input; the rest of the
+            # cost is proportional to the live fraction).
+            raw = self._raw_stream(signs)
+            if raw is not None:
+                with self._dispatch:
+                    n = self._sparse_count_raw(raw[0], raw[1], head)
+                if n is not None:
+                    self._record("count", len(raw[0]),
+                                 time.perf_counter() - t0)
+                    return n
         ids = self.encode(signs)
         if len(ids) == 0:
             return 0
@@ -895,6 +908,16 @@ class DenseScanner:
             return 0  # all-OOV: nothing can match, no device launch
         if self._prefilter == "auto" and n_live * 2 > nB_real:
             return None
+        # Host-side dead-block ELISION (VERDICT r3 stretch #8): when the
+        # compacted live windows are under half the stream, upload ONLY
+        # them — wire bytes drop with density, so end-to-end throughput
+        # on sparse corpora can exceed the raw device_put floor (the full
+        # -stream upload is otherwise the e2e bound on this rig).
+        if n_live * (halo + L_blk) * 2 < max(T, 1):
+            n = self._sparse_count_elided(ids, live, n_live, head, halo,
+                                          L_blk, nB_real, use_stepped)
+            if n is not None:
+                return n
         # pow2 buckets so steady sizes reuse one compiled kernel
         nB = 1 << (nB_real - 1).bit_length()
         cap = max(8, 1 << (n_live - 1).bit_length())
@@ -927,6 +950,122 @@ class DenseScanner:
             fn = sparse.make_sparse_count(self.V, halo, L_blk, nB, cap)
             per = fn(self._dflat, self._nb_out, jnp.asarray(buf),
                      jnp.asarray(idx))
+        return int(np.asarray(per).sum(dtype=np.int64))
+
+    def _sparse_count_elided(self, ids, live, n_live: int, head,
+                             halo: int, L_blk: int, nB_real: int,
+                             use_stepped: bool) -> Optional[int]:
+        """Sparse count with host-side dead-block elision over pre-encoded
+        ids — see _elided_count_core."""
+        return self._elided_count_core(ids, None, len(ids), live, n_live,
+                                       head, halo, L_blk, nB_real,
+                                       use_stepped)
+
+    def _sparse_count_raw(self, raw: np.ndarray, ent, head
+                          ) -> Optional[int]:
+        """RAW-input sparse count with dead-block elision: the live-block
+        filter runs over the RAW symbols through the host LUT (one pass
+        over 1 byte/symbol for byte corpora — before any encode), and
+        only the live windows are gathered, encoded, and uploaded. The
+        whole-corpus cost collapses to two bandwidth passes over the raw
+        input; everything downstream is proportional to the live
+        fraction. Returns None when not profitable/applicable — caller
+        falls through to the host-encode sparse path."""
+        lut_host = ent[3]
+        n_lut = ent[1]
+        st = self._stepped
+        use_stepped = (self._mxu is None and st is not None
+                       and st.packed is not None)
+        k = st.k if use_stepped else 1
+        halo = self._halo_sym if use_stepped else self.halo
+        L_blk = 128 * k
+        if halo > L_blk:
+            return None
+        T = len(raw)
+        nB_real = -(-T // L_blk)
+        # live iff any symbol's ID is non-OOV — exactly the id-path filter
+        # (lut is the id map, pre-masked to the snapshot). Byte corpora
+        # take a uint8 bool-LUT gather: the int64 clamp formulation
+        # allocates 4 GB of temporaries at 1 GB scale, and THIS host
+        # first-touches fresh pages at ~125 MB/s (measured), so the
+        # filter pass must write at most 1 byte/symbol.
+        if raw.dtype == np.uint8 and n_lut >= 256:
+            lv = (lut_host != 0).astype(np.uint8)[raw]
+        else:
+            lv = (lut_host[np.minimum(raw.astype(np.int64, copy=False),
+                                      n_lut - 1)] != 0).astype(np.uint8)
+        pad = nB_real * L_blk - T
+        if pad:
+            lv = np.concatenate([lv, np.zeros(pad, np.uint8)])
+        live = lv.reshape(nB_real, L_blk).max(axis=1).astype(bool)
+        n_live = int(live.sum())
+        self.stats["sparse_live_frac"] = n_live / max(nB_real, 1)
+        if n_live == 0:
+            return 0
+        if self._prefilter == "auto" and n_live * 2 > nB_real:
+            return None
+        if n_live * (halo + L_blk) * 2 >= max(T, 1):
+            return None  # not sparse enough for elision: id path decides
+        return self._elided_count_core(raw, (lut_host, n_lut), T, live,
+                                       n_live, head, halo, L_blk,
+                                       nB_real, use_stepped)
+
+    def _elided_count_core(self, arr, lut, T: int, live, n_live: int,
+                           head, halo: int, L_blk: int, nB_real: int,
+                           use_stepped: bool) -> int:
+        """Gather the live blocks' halo windows ON THE HOST directly from
+        the symbol array (no full-length staging buffer — at GB scale the
+        zeros+copy alone dominated), translate through the host LUT when
+        ``arr`` is raw, and upload ONLY the [halo + L_blk, cap] windows
+        into the standard count cores. Wire bytes = live fraction x
+        corpus. Exact by the same OOV-resets-to-root argument as the
+        device-gather sparse path (ops/sparse.py): windows replay the
+        original stream, so block b's halo is its true preceding
+        symbols; out-of-range positions (stream head/tail, spare pad
+        block) are OOV, and warm-up rows never count."""
+        st = self._stepped
+        cap = max(8, 1 << (n_live - 1).bit_length())
+        idx = np.full(cap, nB_real, np.int64)   # pad -> spare dead block
+        idx[:n_live] = np.flatnonzero(live)
+        cols = np.arange(-halo, L_blk, dtype=np.int64)
+        pos = idx[:, None] * L_blk + cols[None, :]
+        safe = np.clip(pos, 0, max(T - 1, 0))
+        win = arr[safe]
+        if lut is not None:
+            lut_host, n_lut = lut
+            if win.dtype == np.uint8 and n_lut >= 256:
+                win = lut_host[win]
+            else:
+                win = lut_host[np.minimum(
+                    win.astype(np.int64, copy=False), n_lut - 1)]
+        else:
+            win = win.astype(np.int32, copy=False)
+        win[(pos < 0) | (pos >= T)] = 0
+        if halo:
+            r0 = np.flatnonzero(idx == 0)
+            if r0.size:
+                hrow = np.zeros(halo, np.int32)
+                if head is not None and len(head):
+                    hh = min(len(head), halo)
+                    hrow[halo - hh:] = np.asarray(head, np.int32)[-hh:]
+                win[r0[0], :halo] = hrow
+        tm = np.ascontiguousarray(win.T)
+        self._guard_acc(halo + L_blk)
+        from ..ops import multistep as ms
+        if self._mxu is not None:
+            from ..ops import scan_mxu
+            planes, cbits, n_planes, S_pad = self._mxu
+            fn = scan_mxu.make_mxu_count_halo(self.V, S_pad, cbits,
+                                              n_planes, halo)
+            per = fn(planes, jnp.asarray(tm))
+        elif use_stepped:
+            fn = ms.make_stepped_count(st.V, st.k, st.Vk, st.count_bits,
+                                       self._halo_steps)
+            per = fn(self._st_dev[0], jnp.asarray(tm))
+        else:
+            fn = make_blocked_count(self.V, halo)
+            per = fn(self._dflat, self._nb_out, jnp.asarray(tm))
+        self.stats["sparse_elided_upload_bytes"] = int(tm.nbytes)
         return int(np.asarray(per).sum(dtype=np.int64))
 
     def count_many(self, docs: Sequence[Sequence[Any]]) -> np.ndarray:

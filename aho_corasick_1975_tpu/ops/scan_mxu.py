@@ -150,3 +150,18 @@ def make_mxu_count(V: int, S_pad: int, count_bits: int, n_planes: int):
         return mxu_count_core(V, S_pad, count_bits, n_planes, 0, planes, tm)
 
     return count
+
+
+@lru_cache(maxsize=None)
+def make_mxu_count_halo(V: int, S_pad: int, count_bits: int, n_planes: int,
+                        halo: int):
+    """Time-major count with warm-up rows: tm [halo+L, B], counts at
+    t < halo suppressed (the elided sparse-window shape,
+    models/scanner._sparse_count_elided)."""
+
+    @jax.jit
+    def count(planes, tm):
+        return mxu_count_core(V, S_pad, count_bits, n_planes, halo,
+                              planes, tm)
+
+    return count

@@ -882,6 +882,15 @@ class ShardedScanner:
                 "scanner.session() or raise n_streams_per_device")
 
     def count(self, signs, head=None) -> int:
+        from ..models.scanner import _is_device_array
+        if _is_device_array(signs):
+            # Device-resident mesh input (serving a corpus already placed
+            # across the mesh): no host staging, no per-call device_put —
+            # which costs ~0.5 s per 128 MB on a MULTI-PROCESS mesh (no
+            # zero-copy aliasing across processes, measured; the mesh
+            # sibling of DenseScanner's jax.Array fast path). The caller
+            # guarantees values lie in [0, V).
+            return self._count_device(signs, head)
         if self._prefilter == "off" and len(signs):
             raw = self._raw_stream(signs)
             if raw is not None:
@@ -896,6 +905,26 @@ class ShardedScanner:
             if n is not None:
                 return n
         placed, _ = self._pad_and_place(ids)
+        return self._count_placed(placed, head)
+
+    def _count_device(self, ids, head) -> int:
+        import jax.numpy as jnp
+        if not jnp.issubdtype(ids.dtype, jnp.integer):
+            raise ValueError("device-array input must be integer letter "
+                             f"ids (got dtype {ids.dtype})")
+        T = int(ids.shape[0])
+        if T == 0:
+            return 0
+        min_shard = max(self.halo, self._halo_sym, 1)
+        if T % self.n_dev or T // self.n_dev < min_shard:
+            raise ValueError(
+                f"device-resident mesh input length {T} must be divisible "
+                f"by the {self.n_dev}-device mesh with at least "
+                f"{min_shard} symbols per shard; pad with OOV id 0")
+        placed = ids if ids.dtype == jnp.int32 else ids.astype(jnp.int32)
+        return self._count_placed(placed, head)
+
+    def _count_placed(self, placed, head) -> int:
         self._guard_acc(placed.shape[0])
         if self._mxu is not None:
             planes, cbits, n_planes, S_pad = self._mxu

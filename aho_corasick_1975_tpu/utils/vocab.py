@@ -137,6 +137,11 @@ class Vocab:
             return self._encode_byte_ints(np.frombuffer(bytes(signs),
                                                         np.uint8))
         if isinstance(signs, np.ndarray) and signs.dtype.kind in "iu":
+            if signs.dtype == np.uint8:
+                # same domain as the bytes path: one 256-entry LUT gather
+                # (the generic int path below np.unique-SORTS the whole
+                # array — minutes at GB scale)
+                return self._encode_byte_ints(signs)
             return self._encode_ints(signs)
         if isinstance(signs, (list, tuple)) and signs:
             first = signs[0]

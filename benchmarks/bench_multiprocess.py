@@ -90,13 +90,32 @@ def worker(proc_id: int, nproc: int, port: str) -> None:
     sc = ShardedScanner(m, mesh, step_budget_bytes=512 << 20)
     assert sc.step_k >= 2, sc.step_k  # the fast packed path, as single-chip
 
-    total = sc.count(corpus)  # warm-up (compile + first pass)
+    # Scan leg: corpus RESIDENT on the mesh (placed once — the serving
+    # shape, and the single-chip headline's methodology). Placement is
+    # reported separately: device_put onto a multi-process sharding has
+    # no zero-copy alias and costs real time per call (measured ~0.5 s /
+    # 128 MB), which is why count() now takes pre-placed jax.Arrays.
+    import jax.numpy as jnp  # noqa: F401
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from aho_corasick_1975_tpu.parallel.mesh import DATA_AXIS
+    ids = np.asarray(m.vocab.lookup_many(corpus), np.int32)
+    t0 = time.perf_counter()
+    placed = jax.device_put(ids, NamedSharding(mesh, P(DATA_AXIS)))
+    placed.block_until_ready()
+    place_s = time.perf_counter() - t0
+
+    total = sc.count(placed)  # warm-up (compile + first pass)
     t_scan = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        r = sc.count(corpus)
+        r = sc.count(placed)
         t_scan = min(t_scan, time.perf_counter() - t0)
     assert r == total
+    # end-to-end from host bytes (device-side encode, per-call placement)
+    assert sc.count(corpus) == total
+    t0 = time.perf_counter()
+    sc.count(corpus)
+    t_e2e = time.perf_counter() - t0
 
     # +1k Meyer online insertions (per-edge incremental maintenance), then
     # the in-place snapshot refresh and a re-count on the same corpus.
@@ -109,7 +128,7 @@ def worker(proc_id: int, nproc: int, port: str) -> None:
     inplace = sc.refresh()
     refresh_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    total_after = sc.count(corpus)
+    total_after = sc.count(placed)  # same ids: no new letters registered
     t_scan_after = time.perf_counter() - t0
 
     # Host-native streaming oracle (proc 0 only: one pass over the full
@@ -125,6 +144,8 @@ def worker(proc_id: int, nproc: int, port: str) -> None:
         "matches": int(total), "matches_after": int(total_after),
         "scan_seconds": round(t_scan, 3),
         "scan_after_seconds": round(t_scan_after, 3),
+        "e2e_from_host_bytes_seconds": round(t_e2e, 3),
+        "placement_seconds": round(place_s, 3),
         "online_insert_seconds": round(online_s, 3),
         "refresh_seconds": round(refresh_s, 3),
         "refresh_inplace": bool(inplace),
@@ -182,6 +203,10 @@ def main() -> None:
         "matches": base["matches"], "matches_after": base["matches_after"],
         "host_oracle_agrees": base["matches_after"] == base[
             "host_oracle_after"],
+        "one_process_e2e_seconds": base["e2e_from_host_bytes_seconds"],
+        "two_process_e2e_seconds": max(
+            r["e2e_from_host_bytes_seconds"] for r in two),
+        "placement_seconds": two[0]["placement_seconds"],
         "online_insert_seconds": two[0]["online_insert_seconds"],
         "refresh_seconds": two[0]["refresh_seconds"],
         "refresh_inplace": two[0]["refresh_inplace"],

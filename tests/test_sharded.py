@@ -37,6 +37,38 @@ def test_sharded_count_matches_single_chip(mesh8):
                                   single.scan_states(text))
 
 
+def test_sharded_device_resident_count(mesh8):
+    """jax.Array input: pre-placed mesh corpora scan without per-call
+    placement (the multi-process device_put costs ~0.5 s/128 MB — the
+    serving path pins the corpus once). Parity incl. session head."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from aho_corasick_1975_tpu.parallel.mesh import DATA_AXIS
+    rng = random.Random(7)
+    m = ac.Machine()
+    for _ in range(40):
+        m.insert_keyword("".join(rng.choice("abc")
+                                 for _ in range(rng.randint(1, 5))))
+    sharded = ShardedScanner(m, mesh8, n_streams_per_device=4)
+    text = "".join(rng.choice("abcx") for _ in range(8192))
+    ids = np.asarray(m.vocab.lookup_many(text), np.int32)
+    placed = jax.device_put(ids, NamedSharding(mesh8, P(DATA_AXIS)))
+    expected = sharded.count(text)
+    assert sharded.count(placed) == expected
+    # head carry works on the device path too
+    head = np.asarray(m.vocab.lookup_many("ab"), np.int32)
+    assert sharded.count(placed, head=head) == sharded.count(text,
+                                                             head=head)
+    # unsharded device arrays still work (resharded by the kernel)
+    assert sharded.count(jnp.asarray(ids)) == expected
+    # misaligned length refuses loudly
+    with pytest.raises(ValueError, match="divisible"):
+        sharded.count(jnp.asarray(ids[:8191]))
+    with pytest.raises(ValueError, match="integer"):
+        sharded.count(jnp.asarray(ids.astype(np.float32)))
+
+
 def test_match_spanning_shard_boundary(mesh8):
     """A keyword laid exactly across every shard edge must still match:
     the ppermute halo re-derives the boundary state."""

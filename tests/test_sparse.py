@@ -50,6 +50,60 @@ def test_sparse_count_matches_dense_and_oracle(mode):
     assert "sparse_live_frac" in sp.stats
 
 
+def test_sparse_elision_path_exact_and_engaged():
+    """Host-side dead-block elision (round-4 stretch): very sparse
+    corpora upload only the compacted live windows; counts must stay
+    exact incl. session head carry and matches spanning block edges."""
+    m = ac.Machine()
+    for kw in KEYWORDS:
+        m.insert_keyword(kw)
+    sp = m.scanner(n_streams=8, engine="gather", prefilter="on")
+    text = list("x" * 50_000)
+    for pos in (127, 3000, 8191, 30_000):  # incl. block-edge straddles
+        text[pos:pos + 6] = "needle"
+    text = "".join(text)
+    want = _brute_count(text, KEYWORDS)
+    assert sp.count(text) == want
+    assert "sparse_elided_upload_bytes" in sp.stats
+    assert sp.stats["sparse_elided_upload_bytes"] < len(text) * 4 // 2
+    # head carry: a keyword split across a chunk edge
+    sess = sp.session()
+    got = sess.feed_count(text[:8193]) + sess.feed_count(text[8193:])
+    assert got == want
+    # stepped core variant too
+    sp2 = m.scanner(n_streams=8, prefilter="on")
+    if sp2._stepped is not None:
+        assert sp2.count(text) == want
+
+
+def test_sparse_raw_elision_bytes_and_head():
+    """Raw-input elision: the filter runs over raw bytes BEFORE encode;
+    counts exact incl. chunk-edge keywords via the session head carry."""
+    m = ac.Machine()
+    for kw in KEYWORDS:
+        m.insert_keyword(kw.encode())
+    sp = m.scanner(n_streams=8, prefilter="on")
+    body = bytearray(b"\x00" * 60_000)
+    for pos in (500, 8190, 40_000):
+        body[pos:pos + 6] = b"needle"
+    data = bytes(body)
+    cur = m.initiate()
+    want = m.match_stream(cur, data)
+    assert sp.count(data) == want > 0
+    assert "sparse_elided_upload_bytes" in sp.stats
+    # session: split mid-keyword at a chunk edge
+    sess = sp.session()
+    assert sess.feed_count(data[:8193]) + sess.feed_count(data[8193:]) \
+        == want
+    # str input (utf-8 byte raw path) stays exact too
+    m2 = ac.Machine()
+    m2.insert_keyword("héé")
+    sp2 = m2.scanner(n_streams=8, prefilter="on")
+    text = " " * 30_000 + "héé" + " " * 5000
+    cur2 = m2.initiate()
+    assert sp2.count(text) == m2.match_stream(cur2, text) == 1
+
+
 def test_sparse_dense_corpus_exact_and_auto_fallback():
     rng = random.Random(5)
     m = ac.Machine()

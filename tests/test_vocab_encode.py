@@ -54,6 +54,20 @@ def test_bytes_path():
     assert got.tolist() == _oracle(v, data)
 
 
+def test_uint8_array_takes_byte_lut_path():
+    """uint8 ndarrays ride the 256-entry byte LUT (the generic int path
+    np.unique-SORTS the whole array — minutes at GB scale; found while
+    benching the 1 GB two-process config). Exact for any key_fn."""
+    v = Vocab(key_fn=lambda x: x % 10)
+    for s in [3, 7]:
+        v.register(s)
+    arr = np.array([3, 13, 7, 5, 23, 107, 255, 0], dtype=np.uint8)
+    got = v.lookup_many(arr)
+    assert got.tolist() == _oracle(v, [int(x) for x in arr])
+    # parity with the bytes path byte-for-byte
+    assert got.tolist() == list(v.lookup_many(arr.tobytes()))
+
+
 def test_int_array_path_with_key_fn():
     v = Vocab(key_fn=lambda x: x % 10)
     for s in [3, 7]:
