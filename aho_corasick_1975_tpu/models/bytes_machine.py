@@ -85,6 +85,12 @@ class ByteMachine(Machine):
         return bytes(match.letters)
 
 
+def _casefold_key(ch: str) -> str:
+    """Module-level (picklable) casefold key: UnicodeMachine(casefold=True)
+    checkpoints round-trip without re-supplying key_fn at load."""
+    return ch.casefold()
+
+
 class UnicodeMachine(Machine):
     """Codepoint-alphabet matcher with optional case folding — the
     wide-character configuration of the reference's generic test
@@ -97,5 +103,5 @@ class UnicodeMachine(Machine):
 
     def __init__(self, casefold: bool = False, incremental: bool = True,
                  backend: str = "auto"):
-        key = (lambda ch: ch.casefold()) if casefold else None
+        key = _casefold_key if casefold else None
         super().__init__(key_fn=key, incremental=incremental, backend=backend)

@@ -534,6 +534,16 @@ class DenseScanner:
                 fn = make_blocked_scan_raw(self.V, self.halo, B, L)
                 out = np.asarray(fn(self._dflat, raw[1][0], ext,
                                     head_ids))[:T]
+            elif _is_device_array(signs):
+                import jax.numpy as _jnp
+                if not _jnp.issubdtype(signs.dtype, _jnp.integer):
+                    raise ValueError(
+                        "device-array input must be integer letter ids "
+                        f"(got dtype {signs.dtype})")
+                ext, B, L = self._ext_device(signs, head, self.halo, 128)
+                T = int(signs.shape[0])
+                fn = make_blocked_scan_stream(self.V, self.halo, B, L)
+                out = np.asarray(fn(self._dflat, ext))[:T]
             else:
                 ids = self.encode(signs)
                 ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
@@ -981,23 +991,9 @@ class DenseScanner:
         L_blk = 128 * k
         if halo > L_blk:
             return None
+        from ..ops.sparse import raw_live_blocks
         T = len(raw)
-        nB_real = -(-T // L_blk)
-        # live iff any symbol's ID is non-OOV — exactly the id-path filter
-        # (lut is the id map, pre-masked to the snapshot). Byte corpora
-        # take a uint8 bool-LUT gather: the int64 clamp formulation
-        # allocates 4 GB of temporaries at 1 GB scale, and THIS host
-        # first-touches fresh pages at ~125 MB/s (measured), so the
-        # filter pass must write at most 1 byte/symbol.
-        if raw.dtype == np.uint8 and n_lut >= 256:
-            lv = (lut_host != 0).astype(np.uint8)[raw]
-        else:
-            lv = (lut_host[np.minimum(raw.astype(np.int64, copy=False),
-                                      n_lut - 1)] != 0).astype(np.uint8)
-        pad = nB_real * L_blk - T
-        if pad:
-            lv = np.concatenate([lv, np.zeros(pad, np.uint8)])
-        live = lv.reshape(nB_real, L_blk).max(axis=1).astype(bool)
+        live, nB_real = raw_live_blocks(raw, lut_host, n_lut, L_blk)
         n_live = int(live.sum())
         self.stats["sparse_live_frac"] = n_live / max(nB_real, 1)
         if n_live == 0:
@@ -1013,43 +1009,13 @@ class DenseScanner:
     def _elided_count_core(self, arr, lut, T: int, live, n_live: int,
                            head, halo: int, L_blk: int, nB_real: int,
                            use_stepped: bool) -> int:
-        """Gather the live blocks' halo windows ON THE HOST directly from
-        the symbol array (no full-length staging buffer — at GB scale the
-        zeros+copy alone dominated), translate through the host LUT when
-        ``arr`` is raw, and upload ONLY the [halo + L_blk, cap] windows
-        into the standard count cores. Wire bytes = live fraction x
-        corpus. Exact by the same OOV-resets-to-root argument as the
-        device-gather sparse path (ops/sparse.py): windows replay the
-        original stream, so block b's halo is its true preceding
-        symbols; out-of-range positions (stream head/tail, spare pad
-        block) are OOV, and warm-up rows never count."""
+        """Host dead-block elision (ops/sparse.elide_windows): upload ONLY
+        the live blocks' halo windows into the standard count cores —
+        wire bytes = live fraction x corpus."""
+        from ..ops.sparse import elide_windows
         st = self._stepped
-        cap = max(8, 1 << (n_live - 1).bit_length())
-        idx = np.full(cap, nB_real, np.int64)   # pad -> spare dead block
-        idx[:n_live] = np.flatnonzero(live)
-        cols = np.arange(-halo, L_blk, dtype=np.int64)
-        pos = idx[:, None] * L_blk + cols[None, :]
-        safe = np.clip(pos, 0, max(T - 1, 0))
-        win = arr[safe]
-        if lut is not None:
-            lut_host, n_lut = lut
-            if win.dtype == np.uint8 and n_lut >= 256:
-                win = lut_host[win]
-            else:
-                win = lut_host[np.minimum(
-                    win.astype(np.int64, copy=False), n_lut - 1)]
-        else:
-            win = win.astype(np.int32, copy=False)
-        win[(pos < 0) | (pos >= T)] = 0
-        if halo:
-            r0 = np.flatnonzero(idx == 0)
-            if r0.size:
-                hrow = np.zeros(halo, np.int32)
-                if head is not None and len(head):
-                    hh = min(len(head), halo)
-                    hrow[halo - hh:] = np.asarray(head, np.int32)[-hh:]
-                win[r0[0], :halo] = hrow
-        tm = np.ascontiguousarray(win.T)
+        tm = elide_windows(arr, lut, T, live, n_live, head, halo, L_blk,
+                           nB_real)
         self._guard_acc(halo + L_blk)
         from ..ops import multistep as ms
         if self._mxu is not None:
@@ -1189,7 +1155,7 @@ class DenseScanner:
         if len(signs) == 0:
             return []
         t0 = time.perf_counter()
-        if self._prefilter != "off":
+        if self._prefilter != "off" and not _is_device_array(signs):
             out = self._sparse_hits(signs, offset, head, int(max_hits))
             if out is not None:
                 self._record("find_matches_sparse", len(signs),
@@ -1206,6 +1172,13 @@ class DenseScanner:
         use_stepped = (st is not None and st.packed is not None
                        and self._mxu is None)
         max_hits = int(max_hits)
+        device_in = _is_device_array(signs)
+        if device_in:
+            import jax.numpy as _jnp
+            if not _jnp.issubdtype(signs.dtype, _jnp.integer):
+                raise ValueError(
+                    "device-array input must be integer letter ids "
+                    f"(got dtype {signs.dtype})")
         with self._dispatch:
             if use_stepped:
                 # Two-phase: the count-speed scan emits per-gram packed
@@ -1222,10 +1195,16 @@ class DenseScanner:
                     emit, _, n_live_dev = scan_fn(self._st_dev[0],
                                                   raw[1][0], ext, head_ids)
                 else:
-                    ids = self.encode(signs)
-                    ext, B, L, T = self._stream_ext(ids, head,
-                                                    self._halo_sym,
-                                                    128 * st.k)
+                    if device_in:
+                        ext, B, L = self._ext_device(signs, head,
+                                                     self._halo_sym,
+                                                     128 * st.k)
+                        T = int(signs.shape[0])
+                    else:
+                        ids = self.encode(signs)
+                        ext, B, L, T = self._stream_ext(ids, head,
+                                                        self._halo_sym,
+                                                        128 * st.k)
                     scan_fn = make_stepped_hits_scan(
                         st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
                         B, L)
@@ -1288,8 +1267,14 @@ class DenseScanner:
                 positions, sts, n_hits, n_hit_pos = fn(
                     self._dflat, self._nb_out, raw[1][0], ext, head_ids)
             else:
-                ids = self.encode(signs)
-                ext, B, L, T = self._stream_ext(ids, head, self.halo, 128)
+                if device_in:
+                    ext, B, L = self._ext_device(signs, head, self.halo,
+                                                 128)
+                    T = int(signs.shape[0])
+                else:
+                    ids = self.encode(signs)
+                    ext, B, L, T = self._stream_ext(ids, head, self.halo,
+                                                    128)
                 fn = make_blocked_hits_stream(self.V, self.halo,
                                               max_hits, B, L)
                 positions, sts, n_hits, n_hit_pos = fn(self._dflat,
@@ -1491,13 +1476,26 @@ class StreamSession:
         self.total += n
         return n
 
-    def feed_matches(self, signs):
-        """Match events in the next chunk, with absolute stream positions."""
+    def feed_matches(self, signs, max_hits: Optional[int] = None):
+        """Match events in the next chunk, with absolute stream positions.
+
+        ``max_hits``: route the chunk through the bounded-hits fast path
+        (packed k-gram scan + hit extraction — only hit positions travel)
+        instead of full per-position decode; raises if the chunk holds
+        more matching positions, same contract as
+        DenseScanner.find_matches."""
         offset = self.offset
         head = self._advance(signs)
         if not len(signs):
             return []
-        out = self.scanner.find_matches(signs, offset=offset, head=head)
+        kw = {}
+        if max_hits is not None:
+            # mesh scanners bound hits per shard; single-chip per chunk
+            key = ("max_hits_per_shard" if hasattr(self.scanner, "n_dev")
+                   else "max_hits")
+            kw[key] = max_hits
+        out = self.scanner.find_matches(signs, offset=offset, head=head,
+                                        **kw)
         self.total += len(out)
         return out
 

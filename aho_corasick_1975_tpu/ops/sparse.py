@@ -59,6 +59,70 @@ def live_blocks(ids: np.ndarray, L_blk: int) -> np.ndarray:
     return ids.reshape(nB, L_blk).max(axis=1) != 0
 
 
+def elide_windows(arr: np.ndarray, lut, T: int, live: np.ndarray,
+                  n_live: int, head, halo: int, L_blk: int, nB_real: int,
+                  pad_cols_to: int = 1) -> np.ndarray:
+    """HOST-side dead-block elision (round 4): gather the live blocks'
+    halo windows directly from the symbol array — no full-length staging
+    buffer (at GB scale the zeros+copy alone dominated on slow-first-touch
+    hosts) — translating through the host LUT when ``arr`` is raw.
+    Returns the [halo + L_blk, cap] time-major windows to upload (cap a
+    pow2 bucket of n_live, rounded up to ``pad_cols_to``); wire bytes =
+    live fraction x corpus. Exact by the OOV-resets-to-root contract:
+    windows replay the original stream (block b's halo is its true
+    preceding symbols), out-of-range positions are OOV, and warm-up rows
+    never count. ``head``: ID-space session carry for block 0's halo."""
+    cap = max(8, 1 << (n_live - 1).bit_length())
+    cap = -(-cap // pad_cols_to) * pad_cols_to
+    idx = np.full(cap, nB_real, np.int64)       # pad -> spare dead block
+    idx[:n_live] = np.flatnonzero(live)
+    cols = np.arange(-halo, L_blk, dtype=np.int64)
+    pos = idx[:, None] * L_blk + cols[None, :]
+    safe = np.clip(pos, 0, max(T - 1, 0))
+    win = arr[safe]
+    if lut is not None:
+        lut_host, n_lut = lut
+        if win.dtype == np.uint8 and n_lut >= 256:
+            win = lut_host[win]
+        else:
+            win = lut_host[np.minimum(win.astype(np.int64, copy=False),
+                                      n_lut - 1)]
+    else:
+        win = win.astype(np.int32, copy=False)
+    win[(pos < 0) | (pos >= T)] = 0
+    if halo:
+        r0 = np.flatnonzero(idx == 0)
+        if r0.size:
+            hrow = np.zeros(halo, np.int32)
+            if head is not None and len(head):
+                hh = min(len(head), halo)
+                hrow[halo - hh:] = np.asarray(head, np.int32)[-hh:]
+            win[r0[0], :halo] = hrow
+    return np.ascontiguousarray(win.T)
+
+
+def raw_live_blocks(raw: np.ndarray, lut_host: np.ndarray, n_lut: int,
+                    L_blk: int):
+    """Live-block filter over RAW symbols through the host LUT (live iff
+    any symbol's ID is non-OOV — exactly the id-path filter; the LUT is
+    the id map, pre-masked to the snapshot). Byte corpora take a uint8
+    bool-LUT gather writing at most 1 byte/symbol: the int64 clamp
+    formulation allocates GBs of temporaries, and slow-first-touch hosts
+    fault fresh pages at ~125 MB/s (measured). Returns (live bool[nB],
+    nB_real)."""
+    T = len(raw)
+    nB_real = -(-T // L_blk)
+    if raw.dtype == np.uint8 and n_lut >= 256:
+        lv = (lut_host != 0).astype(np.uint8)[raw]
+    else:
+        lv = (lut_host[np.minimum(raw.astype(np.int64, copy=False),
+                                  n_lut - 1)] != 0).astype(np.uint8)
+    pad = nB_real * L_blk - T
+    if pad:
+        lv = np.concatenate([lv, np.zeros(pad, np.uint8)])
+    return lv.reshape(nB_real, L_blk).max(axis=1).astype(bool), nB_real
+
+
 def _window_gather(ext, idx, nB: int, L_blk: int, halo: int):
     """Gather live-block windows: ext [halo + (nB+1)*L_blk] (head halo in
     front, one all-OOV spare block at the end for padding columns),

@@ -305,6 +305,35 @@ def make_sharded_sparse_count(mesh: Mesh, V: int, k: int, Vk: int,
 
 
 @lru_cache(maxsize=None)
+def make_sharded_elided_count(mesh: Mesh, V: int, k: int, Vk: int,
+                              count_bits: int, halo_steps: int,
+                              use_stepped: bool,
+                              axis_name: str = DATA_AXIS):
+    """Mesh count over host-elided live windows (ops/sparse.elide_windows):
+    tm [halo + L_blk, cap] time-major, the WINDOW axis sharded — windows
+    are self-contained (each carries its own halo), so no ppermute is
+    needed; per-window totals all_gather back for the int64 host sum.
+    The mesh sibling of the single-chip elided path: wire bytes = live
+    fraction x corpus, split across the mesh."""
+    halo = halo_steps * k if use_stepped else halo_steps
+
+    def local(tab_a, tab_b, tm):
+        L = tm.shape[0]
+        win = tm.reshape(L, -1)
+        if use_stepped:
+            tot = ms.stepped_count_core(V, k, Vk, count_bits, halo_steps,
+                                        tab_a, win)
+        else:
+            tot = blocked_count_core(V, halo, tab_a, tab_b, win)
+        return lax.all_gather(tot, axis_name)
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(), P(None, axis_name)),
+                       out_specs=P(), check_vma=False)
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
 def make_sharded_mxu_count_many(mesh: Mesh, V: int, S_pad: int,
                                 count_bits: int, n_planes: int,
                                 axis_name: str = DATA_AXIS):
@@ -891,6 +920,16 @@ class ShardedScanner:
             # sibling of DenseScanner's jax.Array fast path). The caller
             # guarantees values lie in [0, V).
             return self._count_device(signs, head)
+        if self._prefilter != "off" and len(signs):
+            # Raw-input dead-block elision, mesh-wide: filter + window
+            # gather on host BEFORE any encode; only the live windows
+            # upload, sharded across the mesh (round 4 — the sibling of
+            # DenseScanner._sparse_count_raw).
+            raw = self._raw_stream(signs)
+            if raw is not None:
+                n = self._sparse_count_raw(raw[0], raw[1], head)
+                if n is not None:
+                    return n
         if self._prefilter == "off" and len(signs):
             raw = self._raw_stream(signs)
             if raw is not None:
@@ -952,6 +991,53 @@ class ShardedScanner:
         # int64 grand total on host (two-level reduction: int32 per stream
         # on device, exact combine here — no 2^31 mesh-wide cap).
         return int(np.asarray(per_stream).sum(dtype=np.int64))
+
+    def _sparse_count_raw(self, raw: np.ndarray, ent, head
+                          ) -> Optional[int]:
+        """Mesh raw-input sparse count with host dead-block elision:
+        ops/sparse.raw_live_blocks over the RAW symbols, elide_windows
+        gathers/encodes only the live windows (columns padded to a mesh
+        multiple), and make_sharded_elided_count scans them sharded —
+        windows are self-contained, so no halo collective. Returns None
+        when not profitable/applicable (caller falls through)."""
+        from ..ops.sparse import elide_windows, raw_live_blocks
+        lut_host, n_lut = ent[3], ent[1]
+        st = self._stepped
+        use_stepped = (self._mxu is None and st is not None
+                       and st.packed is not None)
+        k = st.k if use_stepped else 1
+        halo = self._halo_sym if use_stepped else self.halo
+        L_blk = 128 * k
+        if halo > L_blk:
+            return None
+        T = len(raw)
+        live, nB_real = raw_live_blocks(raw, lut_host, n_lut, L_blk)
+        n_live = int(live.sum())
+        self.stats["sparse_live_frac"] = n_live / max(nB_real, 1)
+        if n_live == 0:
+            return 0
+        if self._prefilter == "auto" and n_live * 2 > nB_real:
+            return None
+        if n_live * (halo + L_blk) * 2 >= max(T, 1):
+            return None
+        tm = elide_windows(raw, (lut_host, n_lut), T, live, n_live, head,
+                           halo, L_blk, nB_real, pad_cols_to=self.n_dev)
+        if L_blk * max(self._snap.max_nb, 1) >= 2 ** 31:
+            raise ValueError("window accumulator could overflow int32")
+        placed = jax.device_put(
+            tm, NamedSharding(self.mesh, P(None, self.axis_name)))
+        if use_stepped:
+            fn = make_sharded_elided_count(
+                self.mesh, st.V, st.k, st.Vk, st.count_bits,
+                self._halo_steps, True, self.axis_name)
+            per = fn(self._st_packed, self._nb_out, placed)
+        else:
+            fn = make_sharded_elided_count(
+                self.mesh, self.V, 1, self.V, 0, self.halo, False,
+                self.axis_name)
+            per = fn(self._dflat, self._nb_out, placed)
+        self.stats["sparse_elided_upload_bytes"] = int(tm.nbytes)
+        return int(np.asarray(per).sum(dtype=np.int64))
 
     def _sparse_count(self, ids: np.ndarray, head) -> Optional[int]:
         """Sharded filter-then-verify count: the host bandwidth pass marks

@@ -268,6 +268,20 @@ def test_cmp_checkpoint_refuses_silent_degrade():
     assert m2.scanner(n_streams=2).count(_opaque_kw("he")) == 1
 
 
+def test_unicode_machine_casefold_roundtrip():
+    """UnicodeMachine(casefold=True) uses a module-level key function, so
+    its checkpoints restore without re-supplying key_fn."""
+    from aho_corasick_1975_tpu.models.bytes_machine import UnicodeMachine
+    m = UnicodeMachine(casefold=True)
+    m.insert_keyword("Straße")
+    buf = io.BytesIO()
+    ckpt.save_machine(m, buf)
+    buf.seek(0)
+    m2 = ckpt.load_machine(buf)
+    assert m2.scanner(n_streams=2).count("STRASSE here straße") == \
+        m.scanner(n_streams=2).count("STRASSE here straße") > 0
+
+
 def test_lambda_key_fn_requires_explicit_restore():
     m = ac.Machine(key_fn=lambda ch: ch.lower())
     m.insert_keyword("He")

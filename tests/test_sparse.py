@@ -104,6 +104,33 @@ def test_sparse_raw_elision_bytes_and_head():
     assert sp2.count(text) == m2.match_stream(cur2, text) == 1
 
 
+def test_sparse_raw_elision_sharded_parity():
+    """Mesh sibling of the raw elision path: the windows upload sharded
+    (no halo collective — each window is self-contained)."""
+    import jax
+
+    from aho_corasick_1975_tpu.parallel.mesh import make_mesh
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+    assert len(jax.devices()) >= 8
+    m = ac.Machine()
+    for kw in KEYWORDS:
+        m.insert_keyword(kw.encode())
+    sh = ShardedScanner(m, make_mesh(8), n_streams_per_device=4,
+                        prefilter="on")
+    body = bytearray(b"\x00" * 60_000)
+    for pos in (500, 8190, 29_999, 55_000):
+        body[pos:pos + 6] = b"needle"
+    data = bytes(body)
+    cur = m.initiate()
+    want = m.match_stream(cur, data)
+    assert sh.count(data) == want > 0
+    assert "sparse_elided_upload_bytes" in sh.stats
+    # session head carry across a mid-keyword chunk edge
+    sess = sh.session()
+    assert sess.feed_count(data[:8193]) + sess.feed_count(data[8193:]) \
+        == want
+
+
 def test_sparse_dense_corpus_exact_and_auto_fallback():
     rng = random.Random(5)
     m = ac.Machine()

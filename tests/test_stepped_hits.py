@@ -150,6 +150,35 @@ def test_k1_packed_hits_parity():
     assert _events(fast) == _events(full) != []
 
 
+def test_device_resident_find_matches(sc_k2):
+    """jax.Array corpora retrieve without host staging (serving parity
+    with count()'s device path), on both the stepped and full-decode
+    legs."""
+    import jax.numpy as jnp
+    text = _text(30, 9_000)
+    ids = sc_k2.encode(text)
+    dev = jnp.asarray(ids)
+    full_host = _events(sc_k2.find_matches(text))
+    assert _events(sc_k2.find_matches(dev)) == full_host
+    assert _events(sc_k2.find_matches(dev, max_hits=1 << 13)) == full_host
+    with pytest.raises(ValueError, match="integer"):
+        sc_k2.find_matches(jnp.asarray(ids.astype("float32")),
+                           max_hits=64)
+
+
+def test_session_feed_matches_bounded(sc_k2):
+    """StreamSession.feed_matches(max_hits=...) routes chunks through the
+    bounded-hits fast path with exact absolute positions."""
+    text = _text(31, 8_000)
+    whole = _events(sc_k2.find_matches(text))
+    sess = sc_k2.session()
+    got = []
+    for i in range(0, len(text), 1000):
+        got += _events(sess.feed_matches(text[i:i + 1000],
+                                         max_hits=1 << 13))
+    assert got == whole
+
+
 def test_mxu_engine_keeps_dense_hits_and_agrees():
     m = ac.Machine()
     for w in ["ab", "ba", "aab"]:
