@@ -1133,12 +1133,20 @@ class DenseScanner:
         Ordered by end position; within a position, longest first
         (reference acm_get_match index order).
 
-        ``max_hits``: enable the device-side bounded hit extraction
-        (ops/hits.py) — only hit positions travel to the host instead of
-        every per-position state; raises if more than ``max_hits`` positions
-        match (retry larger or chunk with a StreamSession)."""
+        When the packed k-gram table exists (the default), retrieval runs
+        at count-engine speed with AUTO-SIZED hit buffers: the scan phase
+        returns the live-gram count, and a live gram holds at most k hit
+        positions, so extraction buffers sized cap*k can never overflow —
+        no ``max_hits`` needed. ``max_hits`` remains available to BOUND
+        the result (device buffers and download scale with it; raises if
+        more positions match — retry larger or chunk with a session), and
+        is the only fast path for engines without a packed table."""
         from .results import MatchSet
-        if max_hits is not None:
+        if max_hits is not None or (
+                self._stepped is not None
+                and self._stepped.packed is not None
+                and self._mxu is None
+                and self._prefilter == "off"):
             return self._find_matches_device(signs, offset, head, max_hits)
         states = self.scan_states(signs, head=head)
         ends, end_states, idx = decode_matches_arrays(states, self.tables,
@@ -1171,7 +1179,14 @@ class DenseScanner:
         # cheap either way).
         use_stepped = (st is not None and st.packed is not None
                        and self._mxu is None)
-        max_hits = int(max_hits)
+        # max_hits None = AUTO (stepped path only): buffers sized from the
+        # scan phase's live-gram count — a live gram holds at most k hit
+        # positions, so cap*k bounds extraction and overflow cannot occur.
+        auto = max_hits is None
+        if auto:
+            assert use_stepped  # routing invariant (find_matches)
+        else:
+            max_hits = int(max_hits)
         device_in = _is_device_array(signs)
         if device_in:
             import jax.numpy as _jnp
@@ -1192,8 +1207,8 @@ class DenseScanner:
                     scan_fn = make_stepped_hits_scan_raw(
                         st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
                         B, L)
-                    emit, _, n_live_dev = scan_fn(self._st_dev[0],
-                                                  raw[1][0], ext, head_ids)
+                    emit, n_hits_dev, n_live_dev = scan_fn(
+                        self._st_dev[0], raw[1][0], ext, head_ids)
                 else:
                     if device_in:
                         ext, B, L = self._ext_device(signs, head,
@@ -1208,9 +1223,10 @@ class DenseScanner:
                     scan_fn = make_stepped_hits_scan(
                         st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
                         B, L)
-                    emit, _, n_live_dev = scan_fn(self._st_dev[0], ext)
+                    emit, n_hits_dev, n_live_dev = scan_fn(
+                        self._st_dev[0], ext)
                 n_live = int(n_live_dev)  # the one tiny host sync
-                if n_live > max_hits:
+                if not auto and n_live > max_hits:
                     raise ValueError(
                         f"at least {n_live} matching positions exceed "
                         f"max_hits={max_hits}; raise max_hits or chunk the "
@@ -1220,6 +1236,18 @@ class DenseScanner:
                     sts = np.zeros(0, np.int32)
                     n_hit_pos = 0
                 else:
+                    cap = max(8, 1 << (n_live - 1).bit_length())
+                    if auto:
+                        # n_hit_pos <= n_hits (phase A's exact match
+                        # total), so this output bound cannot overflow
+                        # and is tighter than cap*k on multi-match
+                        # positions' corpora.
+                        n_hits = int(n_hits_dev)
+                        out_size = min(
+                            cap * st.k,
+                            max(8, 1 << (max(n_hits, 1) - 1).bit_length()))
+                    else:
+                        out_size = min(max_hits, cap * st.k)
                     # Density-adaptive phase B: past ~1/8 live grams the
                     # input-size-bound dense refinement beats the
                     # compaction path, whose cost scales with the live
@@ -1233,18 +1261,16 @@ class DenseScanner:
                         if raw is not None:
                             ex_fn = make_stepped_hits_extract_dense_raw(
                                 st.V, st.k, st.count_bits, pk1[1],
-                                self._halo_steps, max_hits, B, L)
+                                self._halo_steps, out_size, B, L)
                             positions, sts, n_hit_pos = ex_fn(
                                 pk1[0], raw[1][0], ext, emit)
                         else:
                             ex_fn = make_stepped_hits_extract_dense(
                                 st.V, st.k, st.count_bits, pk1[1],
-                                self._halo_steps, max_hits, B, L)
+                                self._halo_steps, out_size, B, L)
                             positions, sts, n_hit_pos = ex_fn(
                                 pk1[0], ext, emit)
                     elif raw is not None:
-                        cap = max(8, 1 << (n_live - 1).bit_length())
-                        out_size = min(max_hits, cap * st.k)
                         ex_fn = make_stepped_hits_extract_raw(
                             st.V, st.k, st.count_bits, self._halo_steps,
                             cap, out_size, B, L)
@@ -1252,8 +1278,6 @@ class DenseScanner:
                             self._dflat, self._nb_out, raw[1][0], ext,
                             emit)
                     else:
-                        cap = max(8, 1 << (n_live - 1).bit_length())
-                        out_size = min(max_hits, cap * st.k)
                         ex_fn = make_stepped_hits_extract(
                             st.V, st.k, st.count_bits, self._halo_steps,
                             cap, out_size, B, L)
@@ -1284,7 +1308,7 @@ class DenseScanner:
             sts = np.asarray(sts)
         keep = (positions >= 0) & (positions < T)
         positions, sts = positions[keep], sts[keep]
-        if n_hit_pos > max_hits:
+        if not auto and n_hit_pos > max_hits:
             raise ValueError(
                 f"{n_hit_pos} matching positions exceed max_hits={max_hits}; "
                 "raise max_hits or chunk the stream with a session")

@@ -1170,18 +1170,39 @@ class ShardedScanner:
         index order — the mesh-wide sibling of DenseScanner.find_matches.
 
         ``head``: session carry (previous chunk tail ids) for shard 0's halo.
-        ``max_hits_per_shard``: use the all_gather bounded-hit path (only
-        hits travel; raises if any shard overflows its buffer).
+        ``max_hits_per_shard``: bound the per-shard hit buffers of the
+        all_gather bounded-hit path (only hits travel; raises if any
+        shard overflows). With NO bound (the default) and a packed
+        stepped table, the buffers AUTO-SIZE: a fast count() pass learns
+        the exact global match total, which upper-bounds any shard's hit
+        positions — still ~2x faster than shipping every per-position
+        state at corpus scale, and overflow-free. Engines without a
+        packed table fall back to the full per-position decode.
 
         Returns a columnar ``MatchSet`` (models/results.py) — list-
         compatible, arrays for the bulk data."""
         from ..models.results import MatchSet
         from ..ops.decode import decode_matches_arrays, expand_hits_arrays
-        if max_hits_per_shard is None:
-            states = self.scan_states(signs, head=head)
-            ends, end_states, idx = decode_matches_arrays(
-                states, self.tables, offset)
-            return MatchSet(self.machine, self.tables, ends, end_states, idx)
+        auto = max_hits_per_shard is None
+        if auto:
+            st = self._stepped
+            if (st is not None and st.packed is not None
+                    and self._mxu is None and self._prefilter == "off"
+                    and len(signs)):
+                total = self.count(signs, head=head)
+                if total == 0:
+                    return MatchSet(self.machine, self.tables,
+                                    np.zeros(0, np.int64),
+                                    np.zeros(0, np.int32),
+                                    np.zeros(0, np.int32))
+                max_hits_per_shard = max(
+                    8, 1 << (int(total) - 1).bit_length())
+            else:
+                states = self.scan_states(signs, head=head)
+                ends, end_states, idx = decode_matches_arrays(
+                    states, self.tables, offset)
+                return MatchSet(self.machine, self.tables, ends,
+                                end_states, idx)
         ids = self.encode(signs)
         if len(ids) == 0:
             return MatchSet(self.machine, self.tables,

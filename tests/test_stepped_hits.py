@@ -19,6 +19,18 @@ def _events(ms):
     return [(ev.end, ev.start, mt.text(), mt.rank) for ev, mt in ms]
 
 
+def _full_decode(sc, signs, offset=0, head=None):
+    """Independent oracle: per-position states + CSR decode (the
+    pre-round-4 default path — find_matches now routes to the fast
+    kernels by default, so the oracle must be constructed explicitly)."""
+    from aho_corasick_1975_tpu.models.results import MatchSet
+    from aho_corasick_1975_tpu.ops.decode import decode_matches_arrays
+    states = sc.scan_states(signs, head=head)
+    ends, end_states, idx = decode_matches_arrays(states, sc.tables,
+                                                  offset)
+    return MatchSet(sc.machine, sc.tables, ends, end_states, idx)
+
+
 def _machine(seed=0, n=60, alpha="abc"):
     rng = random.Random(seed)
     m = ac.Machine()
@@ -45,7 +57,7 @@ def sc_k2():
 
 def test_stepped_hits_parity_vs_full_decode(sc_k2):
     text = _text(1)
-    full = sc_k2.find_matches(text)
+    full = _full_decode(sc_k2, text)
     fast = sc_k2.find_matches(text, max_hits=1 << 14)
     assert len(fast) == len(full) > 0
     assert _events(fast) == _events(full)
@@ -62,7 +74,7 @@ def test_stepped_hits_is_really_the_stepped_kernel(sc_k2, monkeypatch):
     monkeypatch.setattr(hits_mod, "make_blocked_hits_stream", boom)
     monkeypatch.setattr(hits_mod, "make_blocked_hits_raw", boom)
     text = _text(2, 5000)
-    full = sc_k2.find_matches(text)
+    full = _full_decode(sc_k2, text)
     fast = sc_k2.find_matches(text, max_hits=4096)
     assert _events(fast) == _events(full)
 
@@ -76,7 +88,7 @@ def test_stepped_hits_raw_bytes_path():
     rng = random.Random(3)
     text = "".join(rng.choice("hersxyz ") for _ in range(40_000)).encode()
     assert sc._raw_stream(text) is not None
-    full = sc.find_matches(text)
+    full = _full_decode(sc, text)
     fast = sc.find_matches(text, max_hits=1 << 14)
     assert _events(fast) == _events(full) != []
 
@@ -84,7 +96,7 @@ def test_stepped_hits_raw_bytes_path():
 def test_stepped_hits_session_head_carry(sc_k2):
     """Matches spanning a chunk edge keep exact absolute positions."""
     text = _text(4, 9_000)
-    whole = _events(sc_k2.find_matches(text, max_hits=1 << 13))
+    whole = _events(_full_decode(sc_k2, text))
     sess = sc_k2.session()
     got = []
     pos, rng = 0, random.Random(5)
@@ -98,6 +110,25 @@ def test_stepped_hits_session_head_carry(sc_k2):
                                               head=head, max_hits=1 << 13))
         pos += n
     assert got == whole
+
+
+def test_default_find_matches_is_auto_fast(sc_k2, monkeypatch):
+    """find_matches() with NO max_hits now auto-sizes its buffers from
+    the scan phase's live count (round 4): same result as the full
+    decode, with the full-decode kernel never touched."""
+    text = _text(16, 20_000)
+    full = _events(_full_decode(sc_k2, text))
+
+    def boom(*a, **kw):
+        raise AssertionError("full decode used on the auto fast path")
+    monkeypatch.setattr(sc_k2, "scan_states", boom)
+    assert _events(sc_k2.find_matches(text)) == full
+    # dense-match corpus: auto sizing still cannot overflow
+    m = ac.Machine()
+    m.insert_keyword("a")
+    sc = m.scanner(n_streams=4, step_k=2)
+    got = sc.find_matches("a" * 5000)
+    assert len(got) == 5000
 
 
 def test_stepped_hits_overflow_raises(sc_k2):
@@ -119,7 +150,7 @@ def test_both_extract_variants_parity(monkeypatch):
     sc = m.scanner(n_streams=8, step_k=2)
     assert sc._stepped is not None and sc._stepped.packed is not None
     text = "a" * 10_000 + "bbb" + "ab" * 500
-    full = _events(sc.find_matches(text))
+    full = _events(_full_decode(sc, text))
     assert len(full) > 10_000
     dense = _events(sc.find_matches(text, max_hits=1 << 15))
     assert dense == full
@@ -133,7 +164,7 @@ def test_sparse_density_uses_compact_variant(sc_k2):
     """Low-density corpus: one match in 12k symbols (compact variant by
     the n_live*8 > n_grams threshold)."""
     text = "x" * 11_000 + "abc" + "x" * 1000
-    full = _events(sc_k2.find_matches(text))
+    full = _events(_full_decode(sc_k2, text))
     fast = _events(sc_k2.find_matches(text, max_hits=64))
     assert fast == full
 
@@ -145,7 +176,7 @@ def test_k1_packed_hits_parity():
     st = sc._stepped
     assert st is not None and st.k == 1 and st.packed is not None
     text = _text(8, 25_000, "abcdefghij ")
-    full = sc.find_matches(text)
+    full = _full_decode(sc, text)
     fast = sc.find_matches(text, max_hits=1 << 16)
     assert _events(fast) == _events(full) != []
 
@@ -158,7 +189,7 @@ def test_device_resident_find_matches(sc_k2):
     text = _text(30, 9_000)
     ids = sc_k2.encode(text)
     dev = jnp.asarray(ids)
-    full_host = _events(sc_k2.find_matches(text))
+    full_host = _events(_full_decode(sc_k2, text))
     assert _events(sc_k2.find_matches(dev)) == full_host
     assert _events(sc_k2.find_matches(dev, max_hits=1 << 13)) == full_host
     with pytest.raises(ValueError, match="integer"):
@@ -170,7 +201,7 @@ def test_session_feed_matches_bounded(sc_k2):
     """StreamSession.feed_matches(max_hits=...) routes chunks through the
     bounded-hits fast path with exact absolute positions."""
     text = _text(31, 8_000)
-    whole = _events(sc_k2.find_matches(text))
+    whole = _events(_full_decode(sc_k2, text))
     sess = sc_k2.session()
     got = []
     for i in range(0, len(text), 1000):
@@ -186,7 +217,7 @@ def test_mxu_engine_keeps_dense_hits_and_agrees():
     sc = m.scanner(engine="mxu", n_streams=4)
     assert sc._mxu is not None
     text = _text(9, 8_000, "ab ")
-    full = sc.find_matches(text)
+    full = _full_decode(sc, text)
     fast = sc.find_matches(text, max_hits=1 << 12)
     assert _events(fast) == _events(full) != []
 
@@ -211,6 +242,28 @@ def test_sharded_stepped_hits_parity():
     assert _events(fast) == _events(full) != []
     single = m.scanner(n_streams=8).find_matches(text)
     assert _events(fast) == _events(single)
+
+
+def test_sharded_default_find_matches_auto(monkeypatch):
+    """Mesh default (no max_hits_per_shard): auto-sized via a fast count
+    pass — full decode never touched when the packed table exists."""
+    import jax
+
+    from aho_corasick_1975_tpu.parallel.mesh import make_mesh
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+    assert len(jax.devices()) >= 8
+    m = _machine(14)
+    sh = ShardedScanner(m, make_mesh(8), n_streams_per_device=4, step_k=2)
+    text = _text(15, 12_000)
+    single = m.scanner(n_streams=8)
+    want = _events(_full_decode(single, text))
+
+    assert _events(sh.find_matches("")) == []
+
+    def boom(*a, **kw):
+        raise AssertionError("full decode used on the mesh auto path")
+    monkeypatch.setattr(sh, "scan_states", boom)
+    assert _events(sh.find_matches(text)) == want
 
 
 def test_sharded_stepped_hits_overflow_raises():
