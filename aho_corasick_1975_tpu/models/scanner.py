@@ -582,8 +582,7 @@ class DenseScanner:
             self._record("count", int(signs.shape[0]),
                          time.perf_counter() - t0)
             return n
-        if self._prefilter != "off" and not _is_device_array(signs) \
-                and len(signs):
+        if self._prefilter != "off":
             # Raw-input elision: filter + window-gather BEFORE any encode
             # (two bandwidth passes over the raw input; the rest of the
             # cost is proportional to the live fraction).
@@ -591,10 +590,27 @@ class DenseScanner:
             if raw is not None:
                 with self._dispatch:
                     n = self._sparse_count_raw(raw[0], raw[1], head)
-                if n is not None:
+                if isinstance(n, int):
                     self._record("count", len(raw[0]),
                                  time.perf_counter() - t0)
                     return n
+                if n == "dense":
+                    # The raw filter already measured the corpus as
+                    # match-dense ("auto" gate): skip the redundant
+                    # id-path filter and take the dense raw engines
+                    # directly (review r4 — the duplicate full-corpus
+                    # passes were the cost being optimized away).
+                    with self._dispatch:
+                        n = None
+                        if len(raw[0]) >= self._pipeline_min:
+                            n = self._count_raw_pipelined(raw[0], raw[1],
+                                                          head)
+                        if n is None:
+                            n = self._count_raw(raw[0], raw[1], head)
+                    if n is not None:
+                        self._record("count", len(signs),
+                                     time.perf_counter() - t0)
+                        return n
         ids = self.encode(signs)
         if len(ids) == 0:
             return 0
@@ -971,16 +987,18 @@ class DenseScanner:
                                        head, halo, L_blk, nB_real,
                                        use_stepped)
 
-    def _sparse_count_raw(self, raw: np.ndarray, ent, head
-                          ) -> Optional[int]:
+    def _sparse_count_raw(self, raw: np.ndarray, ent, head):
         """RAW-input sparse count with dead-block elision: the live-block
         filter runs over the RAW symbols through the host LUT (one pass
         over 1 byte/symbol for byte corpora — before any encode), and
         only the live windows are gathered, encoded, and uploaded. The
         whole-corpus cost collapses to two bandwidth passes over the raw
         input; everything downstream is proportional to the live
-        fraction. Returns None when not profitable/applicable — caller
-        falls through to the host-encode sparse path."""
+        fraction. Returns an int count, the string "dense" (the "auto"
+        density gate measured the corpus as match-dense — caller should
+        take the dense raw engines WITHOUT re-filtering), or None (not
+        applicable/profitable — the host-encode sparse path decides)."""
+        from ..ops.sparse import raw_elision_plan
         lut_host = ent[3]
         n_lut = ent[1]
         st = self._stepped
@@ -988,22 +1006,16 @@ class DenseScanner:
                        and st.packed is not None)
         k = st.k if use_stepped else 1
         halo = self._halo_sym if use_stepped else self.halo
-        L_blk = 128 * k
-        if halo > L_blk:
-            return None
-        from ..ops.sparse import raw_live_blocks
-        T = len(raw)
-        live, nB_real = raw_live_blocks(raw, lut_host, n_lut, L_blk)
-        n_live = int(live.sum())
-        self.stats["sparse_live_frac"] = n_live / max(nB_real, 1)
-        if n_live == 0:
+        verdict, live, n_live, nB_real = raw_elision_plan(
+            raw, lut_host, n_lut, self._prefilter, halo, 128 * k)
+        if live is not None:
+            self.stats["sparse_live_frac"] = n_live / max(nB_real, 1)
+        if verdict == "zero":
             return 0
-        if self._prefilter == "auto" and n_live * 2 > nB_real:
-            return None
-        if n_live * (halo + L_blk) * 2 >= max(T, 1):
-            return None  # not sparse enough for elision: id path decides
-        return self._elided_count_core(raw, (lut_host, n_lut), T, live,
-                                       n_live, head, halo, L_blk,
+        if verdict in ("dense", "na"):
+            return "dense" if verdict == "dense" else None
+        return self._elided_count_core(raw, (lut_host, n_lut), len(raw),
+                                       live, n_live, head, halo, 128 * k,
                                        nB_real, use_stepped)
 
     def _elided_count_core(self, arr, lut, T: int, live, n_live: int,
@@ -1160,32 +1172,25 @@ class DenseScanner:
                                 make_stepped_hits_extract_raw,
                                 make_stepped_hits_scan,
                                 make_stepped_hits_scan_raw)
+        from .results import MatchSet
         if len(signs) == 0:
-            return []
+            return MatchSet(self.machine, self.tables,
+                            np.zeros(0, np.int64), np.zeros(0, np.int32),
+                            np.zeros(0, np.int32))
         t0 = time.perf_counter()
-        if self._prefilter != "off" and not _is_device_array(signs):
+        if self._prefilter != "off" and max_hits is not None \
+                and not _is_device_array(signs):
             out = self._sparse_hits(signs, offset, head, int(max_hits))
             if out is not None:
                 self._record("find_matches_sparse", len(signs),
                              time.perf_counter() - t0)
                 return out
         raw = self._raw_stream(signs)
-        st = self._stepped
-        # Retrieval at engine speed (VERDICT r3 #3): when the packed
-        # k-gram table exists, the sequential leg is the count kernel's
-        # one-gather-per-k-symbols scan; only live grams get per-position
-        # refinement. The MXU small-automaton engine keeps the dense core
-        # (its planes carry no position info, and small automata are
-        # cheap either way).
-        use_stepped = (st is not None and st.packed is not None
-                       and self._mxu is None)
         # max_hits None = AUTO (stepped path only): buffers sized from the
         # scan phase's live-gram count — a live gram holds at most k hit
         # positions, so cap*k bounds extraction and overflow cannot occur.
         auto = max_hits is None
-        if auto:
-            assert use_stepped  # routing invariant (find_matches)
-        else:
+        if not auto:
             max_hits = int(max_hits)
         device_in = _is_device_array(signs)
         if device_in:
@@ -1195,6 +1200,26 @@ class DenseScanner:
                     "device-array input must be integer letter ids "
                     f"(got dtype {signs.dtype})")
         with self._dispatch:
+            # Engine state is read UNDER the dispatch lock: recalibrate()
+            # may rebind engines concurrently, and the routing decision in
+            # find_matches was made without the lock (review r4). When a
+            # rebind lands an engine without a packed table under an auto
+            # call, fall back to the full decode (exact, never raises).
+            st = self._stepped
+            # Retrieval at engine speed (VERDICT r3 #3): when the packed
+            # k-gram table exists, the sequential leg is the count
+            # kernel's one-gather-per-k-symbols scan; only live grams get
+            # per-position refinement. The MXU small-automaton engine
+            # keeps the dense core (its planes carry no position info,
+            # and small automata are cheap either way).
+            use_stepped = (st is not None and st.packed is not None
+                           and self._mxu is None)
+            if auto and not use_stepped:
+                states = self.scan_states(signs, head=head)
+                ends, end_states, idx = decode_matches_arrays(
+                    states, self.tables, offset)
+                return MatchSet(self.machine, self.tables, ends,
+                                end_states, idx)
             if use_stepped:
                 # Two-phase: the count-speed scan emits per-gram packed
                 # (pre_state, count) words and a 4-byte live count; the

@@ -123,6 +123,34 @@ def raw_live_blocks(raw: np.ndarray, lut_host: np.ndarray, n_lut: int,
     return lv.reshape(nB_real, L_blk).max(axis=1).astype(bool), nB_real
 
 
+def raw_elision_plan(raw: np.ndarray, lut_host: np.ndarray, n_lut: int,
+                     prefilter: str, halo: int, L_blk: int):
+    """The elision DECISION, shared by DenseScanner and ShardedScanner
+    (one copy of the policy — review r4): run the raw live-block filter
+    and classify the corpus. Returns (verdict, live, n_live, nB_real)
+    with verdict one of:
+
+    * "zero"  — no live block: the count is exactly 0, no device work;
+    * "dense" — the "auto" gate measured a match-dense corpus: take the
+      dense raw engines directly, do NOT re-filter on the id path;
+    * "na"    — elision not applicable/profitable here (halo wider than
+      a block, or live windows over half the stream): the id-path sparse
+      kernels decide;
+    * "elide" — gather/encode/upload only the live windows
+      (elide_windows)."""
+    if halo > L_blk:
+        return "na", None, 0, 0
+    live, nB_real = raw_live_blocks(raw, lut_host, n_lut, L_blk)
+    n_live = int(live.sum())
+    if n_live == 0:
+        return "zero", live, 0, nB_real
+    if prefilter == "auto" and n_live * 2 > nB_real:
+        return "dense", live, n_live, nB_real
+    if n_live * (halo + L_blk) * 2 >= max(len(raw), 1):
+        return "na", live, n_live, nB_real
+    return "elide", live, n_live, nB_real
+
+
 def _window_gather(ext, idx, nB: int, L_blk: int, halo: int):
     """Gather live-block windows: ext [halo + (nB+1)*L_blk] (head halo in
     front, one all-OOV spare block at the end for padding columns),

@@ -928,8 +928,12 @@ class ShardedScanner:
             raw = self._raw_stream(signs)
             if raw is not None:
                 n = self._sparse_count_raw(raw[0], raw[1], head)
-                if n is not None:
+                if isinstance(n, int):
                     return n
+                if n == "dense":
+                    n = self._count_raw(raw[0], raw[1], head)
+                    if n is not None:
+                        return n
         if self._prefilter == "off" and len(signs):
             raw = self._raw_stream(signs)
             if raw is not None:
@@ -992,15 +996,16 @@ class ShardedScanner:
         # on device, exact combine here — no 2^31 mesh-wide cap).
         return int(np.asarray(per_stream).sum(dtype=np.int64))
 
-    def _sparse_count_raw(self, raw: np.ndarray, ent, head
-                          ) -> Optional[int]:
+    def _sparse_count_raw(self, raw: np.ndarray, ent, head):
         """Mesh raw-input sparse count with host dead-block elision:
-        ops/sparse.raw_live_blocks over the RAW symbols, elide_windows
+        the shared ops/sparse.raw_elision_plan decides (one copy of the
+        policy with the single-chip scanner), elide_windows
         gathers/encodes only the live windows (columns padded to a mesh
         multiple), and make_sharded_elided_count scans them sharded —
-        windows are self-contained, so no halo collective. Returns None
-        when not profitable/applicable (caller falls through)."""
-        from ..ops.sparse import elide_windows, raw_live_blocks
+        windows are self-contained, so no halo collective. Returns an
+        int, "dense" (auto gate: take the dense raw engines without
+        re-filtering), or None (id path decides)."""
+        from ..ops.sparse import elide_windows, raw_elision_plan
         lut_host, n_lut = ent[3], ent[1]
         st = self._stepped
         use_stepped = (self._mxu is None and st is not None
@@ -1008,21 +1013,18 @@ class ShardedScanner:
         k = st.k if use_stepped else 1
         halo = self._halo_sym if use_stepped else self.halo
         L_blk = 128 * k
-        if halo > L_blk:
-            return None
         T = len(raw)
-        live, nB_real = raw_live_blocks(raw, lut_host, n_lut, L_blk)
-        n_live = int(live.sum())
-        self.stats["sparse_live_frac"] = n_live / max(nB_real, 1)
-        if n_live == 0:
+        verdict, live, n_live, nB_real = raw_elision_plan(
+            raw, lut_host, n_lut, self._prefilter, halo, L_blk)
+        if live is not None:
+            self.stats["sparse_live_frac"] = n_live / max(nB_real, 1)
+        if verdict == "zero":
             return 0
-        if self._prefilter == "auto" and n_live * 2 > nB_real:
-            return None
-        if n_live * (halo + L_blk) * 2 >= max(T, 1):
-            return None
+        if verdict in ("dense", "na"):
+            return "dense" if verdict == "dense" else None
         tm = elide_windows(raw, (lut_host, n_lut), T, live, n_live, head,
                            halo, L_blk, nB_real, pad_cols_to=self.n_dev)
-        if L_blk * max(self._snap.max_nb, 1) >= 2 ** 31:
+        if (halo + L_blk) * max(self._snap.max_nb, 1) >= 2 ** 31:
             raise ValueError("window accumulator could overflow int32")
         placed = jax.device_put(
             tm, NamedSharding(self.mesh, P(None, self.axis_name)))

@@ -143,7 +143,11 @@ def load_machine(path_or_file: Union[str, BinaryIO], key_fn: Any = "saved",
     if kind == "byte":
         m = ByteMachine(incremental=incremental, backend=backend)
     elif kind == "cmp":
-        kf = _restore_callable(z, "key_fn", key_fn, required=False)
+        # key_fn is required here too: the default identity key pickles
+        # fine, so a not-saved marker can only mean a custom unpicklable
+        # key function — silently substituting identity would change
+        # letter equivalence classes (review r4).
+        kf = _restore_callable(z, "key_fn", key_fn, required=True)
         cf = _restore_callable(z, "cmp_fn", cmp_fn, required=True)
         if cf is None:
             raise ValueError(

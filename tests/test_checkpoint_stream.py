@@ -199,6 +199,10 @@ def _opaque_cmp(a, b):
     return (a.v > b.v) - (a.v < b.v)
 
 
+def _str_cmp(a, b):
+    return (a > b) - (a < b)
+
+
 def _opaque_kw(s):
     return [_Opaque(c) for c in s]
 
@@ -266,6 +270,22 @@ def test_cmp_checkpoint_refuses_silent_degrade():
     buf.seek(0)
     m2 = ckpt.load_machine(buf, cmp_fn=_opaque_cmp)  # explicit: fine
     assert m2.scanner(n_streams=2).count(_opaque_kw("he")) == 1
+
+
+def test_cmp_checkpoint_refuses_unpicklable_key_fn():
+    """cmp-mode checkpoints demand the key_fn back when it was an
+    unpicklable lambda — silently substituting identity would change
+    letter equivalence classes (review r4)."""
+    m = ac.Machine(key_fn=lambda o: o.v.lower(), cmp_fn=_str_cmp)
+    m.insert_keyword(_opaque_kw("He"))
+    buf = io.BytesIO()
+    ckpt.save_machine(m, buf)
+    buf.seek(0)
+    with pytest.raises(ValueError, match="key_fn"):
+        ckpt.load_machine(buf)
+    buf.seek(0)
+    m2 = ckpt.load_machine(buf, key_fn=lambda o: o.v.lower())
+    assert m2.scanner(n_streams=2).count(_opaque_kw("HE")) == 1
 
 
 def test_unicode_machine_casefold_roundtrip():

@@ -110,12 +110,18 @@ def test_streaming_differential_fuzz(mode, seed, tmp_path):
             host_events.append(f"{i}:{j}:{m.get_match(cur, j).text()}")
     assert host_events == ref_events
 
-    # device dense path
+    # device path (round 4: find_matches defaults to the packed k-gram
+    # fast retrieval when available — this diff runs it against the
+    # compiled reference)
     sc = m.scanner(n_streams=8)
     dev_events = [f"{ev.end}:{ev.index}:{match.text()}"
                   for ev, match in sc.find_matches(text)]
     assert dev_events == ref_events
     assert sc.count(text) == len(ref_events)
+    # explicitly bounded retrieval leg
+    bounded = [f"{ev.end}:{ev.index}:{match.text()}"
+               for ev, match in sc.find_matches(text, max_hits=1 << 14)]
+    assert bounded == ref_events
 
 
 def test_mrs_dalloway_differential(mode, tmp_path):

@@ -104,6 +104,25 @@ def test_sparse_raw_elision_bytes_and_head():
     assert sp2.count(text) == m2.match_stream(cur2, text) == 1
 
 
+def test_sparse_auto_dense_raw_skips_refilter(monkeypatch):
+    """prefilter='auto' on a match-DENSE raw corpus: the raw filter's
+    'dense' verdict routes straight to the dense raw engines — the
+    id-path filter must NOT run again (review r4)."""
+    from aho_corasick_1975_tpu.ops import sparse as sparse_mod
+    m = ac.Machine()
+    for kw in KEYWORDS:
+        m.insert_keyword(kw.encode())
+    sp = m.scanner(n_streams=8, prefilter="auto")
+    data = ("needle" * 3000).encode()  # every block live
+
+    def boom(*a, **kw):
+        raise AssertionError("id-path live_blocks re-ran after the raw "
+                             "filter already measured density")
+    monkeypatch.setattr(sparse_mod, "live_blocks", boom)
+    cur = m.initiate()
+    assert sp.count(data) == m.match_stream(cur, data) > 0
+
+
 def test_sparse_raw_elision_sharded_parity():
     """Mesh sibling of the raw elision path: the windows upload sharded
     (no halo collective — each window is self-contained)."""
