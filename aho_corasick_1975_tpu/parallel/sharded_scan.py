@@ -669,7 +669,17 @@ class ShardedScanner:
         if calibrate and engine == "auto":
             self._calibrate_engine()
 
-    def _calibrate_engine(self) -> None:
+    def recalibrate(self) -> str:
+        """Re-measure the engine choice on this mesh NOW (ignoring the
+        cached choice) and rebind; returns the winner. Unlike
+        DenseScanner.recalibrate this does NOT serialize against
+        concurrent scans (the mesh scanner has no dispatch lock — its
+        staging is per-call); callers must not scan concurrently with a
+        recalibration, the same documented contract as refresh()."""
+        self._calibrate_engine(force=True)
+        return self._engine
+
+    def _calibrate_engine(self, force: bool = False) -> None:
         """Measured engine selection on the mesh (ops/autotune.py, the
         ShardedScanner sibling of DenseScanner._calibrate_engine): probe
         each available engine's production count() once over the sharded
@@ -691,7 +701,7 @@ class ShardedScanner:
             key = autotune.geometry_key(
                 self.tables.n_states, self.V,
                 self.step_k) + f"|mesh{self.n_dev}"
-            choice = autotune.cached_choice(key)
+            choice = None if force else autotune.cached_choice(key)
             if choice not in candidates:
                 choice = autotune.probe(self, candidates)
                 autotune.store_choice(key, choice)
@@ -1096,11 +1106,36 @@ class ShardedScanner:
                      head=head_arr)
         return int(np.asarray(per).sum(dtype=np.int64))
 
-    def scan_states(self, signs, head=None) -> np.ndarray:
+    def _placed_for(self, signs):
+        """(placed device array, T) for either host signs (encode + pad +
+        device_put) or a pre-placed jax.Array (validated, no staging)."""
+        from ..models.scanner import _is_device_array
+        if _is_device_array(signs):
+            import jax.numpy as jnp
+            if not jnp.issubdtype(signs.dtype, jnp.integer):
+                raise ValueError(
+                    "device-array input must be integer letter ids "
+                    f"(got dtype {signs.dtype})")
+            T = int(signs.shape[0])
+            min_shard = max(self.halo, self._halo_sym, 1)
+            if T % self.n_dev or T // self.n_dev < min_shard:
+                raise ValueError(
+                    f"device-resident mesh input length {T} must be "
+                    f"divisible by the {self.n_dev}-device mesh with at "
+                    f"least {min_shard} symbols per shard; pad with OOV "
+                    "id 0")
+            placed = (signs if signs.dtype == jnp.int32
+                      else signs.astype(jnp.int32))
+            return placed, T
         ids = self.encode(signs)
         if len(ids) == 0:
+            return None, 0
+        return self._pad_and_place(ids)
+
+    def scan_states(self, signs, head=None) -> np.ndarray:
+        placed, T = self._placed_for(signs)
+        if placed is None:
             return np.zeros(0, np.int32)
-        placed, T = self._pad_and_place(ids)
         return np.asarray(self._scan(self._dflat, placed,
                                      head=self._head_arr(head, self.halo)))[:T]
 
@@ -1205,18 +1240,24 @@ class ShardedScanner:
                     states, self.tables, offset)
                 return MatchSet(self.machine, self.tables, ends,
                                 end_states, idx)
-        ids = self.encode(signs)
-        if len(ids) == 0:
-            return MatchSet(self.machine, self.tables,
-                            np.zeros(0, np.int64), np.zeros(0, np.int32),
-                            np.zeros(0, np.int32))
+        from ..models.scanner import _is_device_array
         key = int(max_hits_per_shard)
-        if self._prefilter != "off":
+        if self._prefilter != "off" and not _is_device_array(signs):
+            ids = self.encode(signs)
+            if len(ids) == 0:
+                return MatchSet(self.machine, self.tables,
+                                np.zeros(0, np.int64),
+                                np.zeros(0, np.int32),
+                                np.zeros(0, np.int32))
             out = self._sparse_hits(ids, offset, head, key)
             if out is not None:
                 return out
         st = self._stepped
-        placed, T = self._pad_and_place(ids)
+        placed, T = self._placed_for(signs)
+        if placed is None:
+            return MatchSet(self.machine, self.tables,
+                            np.zeros(0, np.int64), np.zeros(0, np.int32),
+                            np.zeros(0, np.int32))
         if st is not None and st.packed is not None and self._mxu is None:
             # Retrieval at count-engine speed (VERDICT r3 #3), mesh-wide.
             hits_fn = make_sharded_stepped_hits(

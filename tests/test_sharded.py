@@ -67,6 +67,15 @@ def test_sharded_device_resident_count(mesh8):
         sharded.count(jnp.asarray(ids[:8191]))
     with pytest.raises(ValueError, match="integer"):
         sharded.count(jnp.asarray(ids.astype(np.float32)))
+    # retrieval + per-position states on the device path
+    np.testing.assert_array_equal(sharded.scan_states(placed),
+                                  sharded.scan_states(text))
+    want = [(ev.end, mt.text()) for ev, mt in sharded.find_matches(text)]
+    got = [(ev.end, mt.text()) for ev, mt in sharded.find_matches(placed)]
+    got_b = [(ev.end, mt.text())
+             for ev, mt in sharded.find_matches(placed,
+                                                max_hits_per_shard=2048)]
+    assert got == got_b == want
 
 
 def test_match_spanning_shard_boundary(mesh8):
