@@ -203,7 +203,7 @@ struct EdgeMap {
   }
 
   void insert(int32_t state, int32_t letter, int32_t child) {
-    if ((count + 1) * 10 >= (cur->mask + 1) * 7) rehash((cur->mask + 1) * 2);
+    if ((count + 1) * 2 >= (cur->mask + 1)) rehash((cur->mask + 1) * 2);
     uint64_t k = edge_key(state, letter);
     size_t j = mix64(k) & cur->mask;
     while (cur->slots[j].key != kEmptyKey) j = (j + 1) & cur->mask;
@@ -218,7 +218,7 @@ struct EdgeMap {
 
   void reserve_edges(size_t n) {
     size_t need = 1;
-    while (need * 7 < (n + count) * 10) need <<= 1;
+    while (need < (n + count) * 2) need <<= 1;
     if (need > cur->mask + 1) rehash(need);
   }
 
@@ -693,7 +693,7 @@ void acx_insert_keywords(Machine* m, const int32_t* letters,
   // may have created a shared prefix — so state ids and ranks are
   // assigned in exactly the sequential order (the determinism contract
   // behind backend parity and reference-dump parity).
-  constexpr int64_t kWave = 64;
+  constexpr int64_t kWave = 128;
   int32_t endpoint[kWave];
   int64_t resume[kWave];
   for (int64_t wave = 0; wave < n_keywords; wave += kWave) {
