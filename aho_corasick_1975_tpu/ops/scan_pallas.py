@@ -17,6 +17,10 @@ The kernel below is correct under `interpret=True` (tested on CPU in CI)
 and is the ready-made fused implementation for TPU generations / Mosaic
 versions that lift the gather restriction.
 
+Round-4 re-probe (jax 0.9.0, v5 lite): a 1-D table gather inside a
+pallas_call still fails to lower ("Only 2D gather is supported") — the
+restriction and this module's parked status remain current.
+
 Round-2 re-examination (benchmarks/exp_round2_kernels.py exp3/exp3b,
 BENCHMARKS.md "Round-2 kernel formulations"): the current toolchain rejects
 the 1-D form with "Only 2D gather is supported", and its "2D gather" is a
