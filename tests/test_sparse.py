@@ -123,6 +123,39 @@ def test_sparse_auto_dense_raw_skips_refilter(monkeypatch):
     assert sp.count(data) == m.match_stream(cur, data) > 0
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_sparse_raw_elision_differential_fuzz(seed):
+    """Randomized densities/modes/chunkings of the raw elision path vs
+    the host streaming oracle (the newest code gets the widest fuzz)."""
+    rng = random.Random(100 + seed)
+    m = ac.Machine()
+    kws = [kw.encode() for kw in KEYWORDS] + [b"\x00z\x00"]  # NUL letter
+    for kw in kws[:5 + seed]:
+        m.insert_keyword(kw)
+    density = [0.0005, 0.005, 0.05, 0.4][seed]
+    n = 40_000 + 7000 * seed
+    body = bytearray(b"\x01" * n)  # 0x01 appears in no keyword -> dead
+    plants = max(1, int(n * density / 8))
+    for _ in range(plants):
+        kw = kws[rng.randrange(len(kws[:5 + seed]))]
+        p = rng.randrange(0, n - 16)
+        body[p:p + len(kw)] = kw
+    data = bytes(body)
+    cur = m.initiate()
+    want = m.match_stream(cur, data)
+    for mode in ("on", "auto"):
+        sp = m.scanner(n_streams=8, prefilter=mode)
+        assert sp.count(data) == want, (seed, mode)
+        # ragged session feeds (chunk edges mid-keyword)
+        sess = sp.session()
+        total, pos = 0, 0
+        while pos < n:
+            step = rng.choice([13, 257, 5000])
+            total += sess.feed_count(data[pos:pos + step])
+            pos += step
+        assert total == want, (seed, mode)
+
+
 def test_sparse_raw_elision_sharded_parity():
     """Mesh sibling of the raw elision path: the windows upload sharded
     (no halo collective — each window is self-contained)."""
