@@ -1026,8 +1026,8 @@ class DenseScanner:
         wire bytes = live fraction x corpus."""
         from ..ops.sparse import elide_windows
         st = self._stepped
-        tm = elide_windows(arr, lut, T, live, n_live, head, halo, L_blk,
-                           nB_real)
+        tm, _ = elide_windows(arr, lut, T, live, n_live, head, halo,
+                              L_blk, nB_real)
         self._guard_acc(halo + L_blk)
         from ..ops import multistep as ms
         if self._mxu is not None:
@@ -1386,12 +1386,38 @@ class DenseScanner:
         positions (ops/sparse.make_sparse_hits). Returns None when not
         profitable or not applicable — caller falls through to the dense
         bounded-hits kernel. Uses the dense-table halo (per-position
-        states are required, so the packed k-gram core does not apply)."""
+        states are required, so the packed k-gram core does not apply).
+
+        Round 4: a raw input first tries the DEAD-BLOCK-ELIDED variant —
+        filter over the raw bytes, upload only the live windows
+        (ops/sparse.make_elided_hits) — the retrieval sibling of the
+        elided count, so sparse retrieval also runs above the raw upload
+        floor."""
         from ..ops import sparse
         halo = self.halo
         L_blk = 128
         if halo > L_blk:
             return None
+        raw = self._raw_stream(signs)
+        if raw is not None:
+            verdict, live, n_live, nB_real = sparse.raw_elision_plan(
+                raw[0], raw[1][3], raw[1][1], self._prefilter, halo,
+                L_blk)
+            if live is not None:
+                self.stats["sparse_live_frac"] = n_live / max(nB_real, 1)
+            if verdict == "zero":
+                from .results import MatchSet
+                return MatchSet(self.machine, self.tables,
+                                np.zeros(0, np.int64),
+                                np.zeros(0, np.int32),
+                                np.zeros(0, np.int32))
+            if verdict == "dense":
+                return None  # dense bounded-hits kernels take it
+            if verdict == "elide":
+                return self._elided_hits(raw[0], (raw[1][3], raw[1][1]),
+                                         len(raw[0]), live, n_live,
+                                         offset, head, halo, L_blk,
+                                         nB_real, max_hits)
         ids = self.encode(signs)
         T = len(ids)
         nB_real = -(-T // L_blk)
@@ -1440,6 +1466,39 @@ class DenseScanner:
                 "session")
         from ..ops.decode import expand_hits_arrays
         from .results import MatchSet
+        ends, end_states, idx_out = expand_hits_arrays(
+            positions, sts, self.tables, offset)
+        return MatchSet(self.machine, self.tables, ends, end_states,
+                        idx_out)
+
+    def _elided_hits(self, arr, lut, T: int, live, n_live: int, offset,
+                     head, halo: int, L_blk: int, nB_real: int,
+                     max_hits: int):
+        """Bounded hits over host-elided live windows: only the live
+        windows upload (ops/sparse.elide_windows + make_elided_hits);
+        positions recover from the uploaded block indices."""
+        from ..ops import sparse
+        from ..ops.decode import expand_hits_arrays
+        from .results import MatchSet
+        with self._dispatch:
+            tm, idx = sparse.elide_windows(arr, lut, T, live, n_live,
+                                           head, halo, L_blk, nB_real)
+            fn = sparse.make_elided_hits(self.V, halo, L_blk,
+                                         int(max_hits))
+            positions, sts, n_hits, n_hit_pos = fn(
+                self._dflat, self._nb_out, jnp.asarray(tm),
+                jnp.asarray(idx.astype(np.int32)))
+            n_hit_pos = int(n_hit_pos)
+            positions = np.asarray(positions)
+            sts = np.asarray(sts)
+        keep = (positions >= 0) & (positions < T)
+        positions, sts = positions[keep], sts[keep]
+        if n_hit_pos > max_hits:
+            raise ValueError(
+                f"{n_hit_pos} matching positions exceed max_hits="
+                f"{max_hits}; raise max_hits or chunk the stream with a "
+                "session")
+        self.stats["sparse_elided_upload_bytes"] = int(tm.nbytes)
         ends, end_states, idx_out = expand_hits_arrays(
             positions, sts, self.tables, offset)
         return MatchSet(self.machine, self.tables, ends, end_states,

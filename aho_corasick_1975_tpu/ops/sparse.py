@@ -66,9 +66,11 @@ def elide_windows(arr: np.ndarray, lut, T: int, live: np.ndarray,
     halo windows directly from the symbol array — no full-length staging
     buffer (at GB scale the zeros+copy alone dominated on slow-first-touch
     hosts) — translating through the host LUT when ``arr`` is raw.
-    Returns the [halo + L_blk, cap] time-major windows to upload (cap a
-    pow2 bucket of n_live, rounded up to ``pad_cols_to``); wire bytes =
-    live fraction x corpus. Exact by the OOV-resets-to-root contract:
+    Returns (tm, idx): the [halo + L_blk, cap] time-major windows to
+    upload (cap a pow2 bucket of n_live, rounded up to ``pad_cols_to``)
+    and the int64 [cap] block indices (pad columns point at the spare
+    all-OOV block nB_real, whose positions land past the stream end);
+    wire bytes = live fraction x corpus. Exact by the OOV-resets-to-root contract:
     windows replay the original stream (block b's halo is its true
     preceding symbols), out-of-range positions are OOV, and warm-up rows
     never count. ``head``: ID-space session carry for block 0's halo."""
@@ -98,7 +100,7 @@ def elide_windows(arr: np.ndarray, lut, T: int, live: np.ndarray,
                 hh = min(len(head), halo)
                 hrow[halo - hh:] = np.asarray(head, np.int32)[-hh:]
             win[r0[0], :halo] = hrow
-    return np.ascontiguousarray(win.T)
+    return np.ascontiguousarray(win.T), idx
 
 
 def raw_live_blocks(raw: np.ndarray, lut_host: np.ndarray, n_lut: int,
@@ -195,6 +197,36 @@ def make_sparse_count_mxu(V: int, S_pad: int, count_bits: int,
     return count
 
 
+def _window_hits_core(V: int, halo: int, L_blk: int, max_hits: int,
+                      dflat, nb_out, win, idx):
+    """Bounded hit extraction over live-block windows: win
+    [halo + L_blk, cap] symbol ids, idx [cap] block indices (stream
+    position of window cell (t, col) = idx[col]*L_blk + t). Shared by the
+    device-gather sparse hits and the host-elided variant."""
+    from jax import lax
+
+    s0 = jnp.zeros((win.shape[1],), dtype=jnp.int32)
+
+    def step(s, c):
+        s2 = dflat[s * V + c]
+        return s2, s2
+
+    _, states_tm = lax.scan(step, s0, win)           # [halo+L_blk, cap]
+    counts = nb_out[states_tm][halo:, :]             # [L_blk, cap]
+    hit_mask = counts > 0
+    n_hits = jnp.sum(counts, dtype=jnp.int32)
+    n_hit_pos = jnp.sum(hit_mask, dtype=jnp.int32)
+    pos2d = (idx[None, :] * L_blk
+             + jnp.arange(L_blk, dtype=jnp.int32)[:, None])
+    (flat_idx,) = jnp.nonzero(hit_mask.T.reshape(-1), size=max_hits,
+                              fill_value=-1)
+    valid = flat_idx >= 0
+    safe = jnp.maximum(flat_idx, 0)
+    positions = jnp.where(valid, pos2d.T.reshape(-1)[safe], -1)
+    sts = jnp.where(valid, states_tm[halo:, :].T.reshape(-1)[safe], 0)
+    return positions, sts, n_hits, n_hit_pos
+
+
 @lru_cache(maxsize=None)
 def make_sparse_hits(V: int, halo: int, L_blk: int, nB: int, cap: int,
                      max_hits: int):
@@ -205,32 +237,28 @@ def make_sparse_hits(V: int, halo: int, L_blk: int, nB: int, cap: int,
     positions). idx ascending keeps the nonzero output in stream order.
     Uses the dense delta table: hit extraction needs per-position states,
     which the packed k-gram and MXU cores do not materialize."""
-    from jax import lax
 
     @jax.jit
     def hits(dflat, nb_out, ext, idx):
         win = _window_gather(ext, idx, nB, L_blk, halo)  # [halo+L_blk, cap]
-        s0 = jnp.zeros((win.shape[1],), dtype=jnp.int32)
+        return _window_hits_core(V, halo, L_blk, max_hits, dflat, nb_out,
+                                 win, idx)
 
-        def step(s, c):
-            s2 = dflat[s * V + c]
-            return s2, s2
+    return hits
 
-        _, states_tm = lax.scan(step, s0, win)           # [halo+L_blk, cap]
-        counts = nb_out[states_tm][halo:, :]             # [L_blk, cap]
-        hit_mask = counts > 0
-        n_hits = jnp.sum(counts, dtype=jnp.int32)
-        n_hit_pos = jnp.sum(hit_mask, dtype=jnp.int32)
-        # stream position of window cell (t, col): idx[col]*L_blk + t
-        pos2d = (idx[None, :] * L_blk
-                 + jnp.arange(L_blk, dtype=jnp.int32)[:, None])
-        (flat_idx,) = jnp.nonzero(hit_mask.T.reshape(-1), size=max_hits,
-                                  fill_value=-1)
-        valid = flat_idx >= 0
-        safe = jnp.maximum(flat_idx, 0)
-        positions = jnp.where(valid, pos2d.T.reshape(-1)[safe], -1)
-        sts = jnp.where(valid, states_tm[halo:, :].T.reshape(-1)[safe], 0)
-        return positions, sts, n_hits, n_hit_pos
+
+@lru_cache(maxsize=None)
+def make_elided_hits(V: int, halo: int, L_blk: int, max_hits: int):
+    """Bounded hits over HOST-ELIDED windows (elide_windows output): only
+    the live windows were uploaded — wire bytes = live fraction x corpus,
+    the retrieval sibling of the elided count. (dflat, nb_out, tm, idx)
+    with tm [halo + L_blk, cap]; pad columns must carry idx pointing past
+    the last real block so their positions filter out as >= T."""
+
+    @jax.jit
+    def hits(dflat, nb_out, tm, idx):
+        return _window_hits_core(V, halo, L_blk, max_hits, dflat, nb_out,
+                                 tm, idx)
 
     return hits
 

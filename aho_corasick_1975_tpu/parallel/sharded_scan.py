@@ -1032,8 +1032,9 @@ class ShardedScanner:
             return 0
         if verdict in ("dense", "na"):
             return "dense" if verdict == "dense" else None
-        tm = elide_windows(raw, (lut_host, n_lut), T, live, n_live, head,
-                           halo, L_blk, nB_real, pad_cols_to=self.n_dev)
+        tm, _ = elide_windows(raw, (lut_host, n_lut), T, live, n_live,
+                              head, halo, L_blk, nB_real,
+                              pad_cols_to=self.n_dev)
         if (halo + L_blk) * max(self._snap.max_nb, 1) >= 2 ** 31:
             raise ValueError("window accumulator could overflow int32")
         placed = jax.device_put(

@@ -59,6 +59,16 @@ def main() -> None:
         sc.count(corpus_b)
         te = min(te, time.perf_counter() - t0)
 
+    # Retrieval leg: elided bounded hits (round 4) — full MatchSet out.
+    ms = sc.find_matches(corpus_b, max_hits=1 << 17)
+    assert len(ms) == total
+    tr = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ms = sc.find_matches(corpus_b, max_hits=1 << 17)
+        _ = ms.starts
+        tr = min(tr, time.perf_counter() - t0)
+
     # Raw upload floor for the SAME bytes (synchronous materialization).
     raw = np.frombuffer(corpus_b, np.uint8)
     up = jnp.asarray(raw)
@@ -84,6 +94,8 @@ def main() -> None:
             "elided_upload_bytes": sc.stats.get(
                 "sparse_elided_upload_bytes"),
             "live_frac": round(sc.stats.get("sparse_live_frac", -1), 5),
+            "find_matches_e2e_mb_per_sec": round(N / tr / 1e6, 1),
+            "find_matches_over_upload_floor": round(tu / tr, 2),
         },
     }))
 

@@ -70,6 +70,39 @@ def test_sparse_hits_block_straddle(machine):
     assert np.array_equal(got.end_states, want.end_states)
 
 
+def test_elided_hits_engaged_and_exact(machine):
+    """Round 4: a very sparse raw corpus routes retrieval through the
+    host-elided windows (only live windows upload) — byte-identical to
+    the full decode, stats record the elided wire bytes."""
+    sp = machine.scanner(prefilter="on")
+    text = "z" * 40_000 + "needle" + "z" * 20_000 + "pinhay" + "z" * 5000
+    dense = machine.scanner().find_matches(text)
+    got = sp.find_matches(text, max_hits=256)
+    assert np.array_equal(got.ends, dense.ends)
+    assert np.array_equal(got.end_states, dense.end_states)
+    assert "sparse_elided_upload_bytes" in sp.stats
+    assert sp.stats["sparse_elided_upload_bytes"] < len(text) * 4 // 4
+    # bytes corpus through a byte machine
+    mb = ac.Machine()
+    for w in [b"needle", b"pin"]:
+        mb.insert_keyword(w)
+    spb = mb.scanner(prefilter="on")
+    data = b"\x00" * 30_000 + b"needle" + b"\x00" * 9000 + b"pin"
+    got_b = spb.find_matches(data, max_hits=64)
+    ref = mb.scanner().find_matches(data)
+    assert np.array_equal(got_b.ends, ref.ends)
+    # session head carry across a chunk edge mid-keyword
+    sess = spb.session()
+    e1 = [(ev.end, mt.text()) for ev, mt in
+          sess.feed_matches(data[:30_003], max_hits=64)]
+    e2 = [(ev.end, mt.text()) for ev, mt in
+          sess.feed_matches(data[30_003:], max_hits=64)]
+    assert e1 + e2 == [(ev.end, mt.text()) for ev, mt in ref]
+    # overflow still raises through the elided kernel
+    with pytest.raises(ValueError, match="max_hits"):
+        spb.find_matches(data, max_hits=1)
+
+
 def test_sparse_hits_all_oov(machine):
     got = machine.scanner(prefilter="on").find_matches("z" * 5000,
                                                        max_hits=8)
