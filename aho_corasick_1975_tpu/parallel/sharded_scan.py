@@ -334,6 +334,34 @@ def make_sharded_elided_count(mesh: Mesh, V: int, k: int, Vk: int,
 
 
 @lru_cache(maxsize=None)
+def make_sharded_elided_hits(mesh: Mesh, V: int, halo: int, L_blk: int,
+                             max_hits_per_shard: int,
+                             axis_name: str = DATA_AXIS):
+    """Mesh bounded hits over host-elided live windows: tm
+    [halo + L_blk, cap] and idx [cap] with the WINDOW axis sharded
+    (windows are self-contained — no halo collective); positions are
+    already absolute (idx holds global block ids). Buffers all_gather
+    back replicated. The retrieval sibling of make_sharded_elided_count."""
+    from ..ops.sparse import _window_hits_core
+
+    def local(dflat, nb_out, tm, idx):
+        L = tm.shape[0]
+        win = tm.reshape(L, -1)
+        positions, sts, _, n_hit_pos = _window_hits_core(
+            V, halo, L_blk, max_hits_per_shard, dflat, nb_out, win,
+            idx.reshape(-1))
+        return (lax.all_gather(positions, axis_name),
+                lax.all_gather(sts, axis_name),
+                lax.all_gather(n_hit_pos, axis_name))
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(), P(None, axis_name),
+                                 P(axis_name)),
+                       out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
 def make_sharded_mxu_count_many(mesh: Mesh, V: int, S_pad: int,
                                 count_bits: int, n_planes: int,
                                 axis_name: str = DATA_AXIS):
@@ -1244,15 +1272,35 @@ class ShardedScanner:
         from ..models.scanner import _is_device_array
         key = int(max_hits_per_shard)
         if self._prefilter != "off" and not _is_device_array(signs):
-            ids = self.encode(signs)
-            if len(ids) == 0:
-                return MatchSet(self.machine, self.tables,
-                                np.zeros(0, np.int64),
-                                np.zeros(0, np.int32),
-                                np.zeros(0, np.int32))
-            out = self._sparse_hits(ids, offset, head, key)
-            if out is not None:
-                return out
+            raw = self._raw_stream(signs)
+            verdict = None
+            if raw is not None:
+                from ..ops.sparse import raw_elision_plan
+                verdict, live, n_live, nB_real = raw_elision_plan(
+                    raw[0], raw[1][3], raw[1][1], self._prefilter,
+                    self.halo, 128)
+                if live is not None:
+                    self.stats["sparse_live_frac"] = \
+                        n_live / max(nB_real, 1)
+                if verdict == "zero":
+                    return MatchSet(self.machine, self.tables,
+                                    np.zeros(0, np.int64),
+                                    np.zeros(0, np.int32),
+                                    np.zeros(0, np.int32))
+                if verdict == "elide":
+                    return self._elided_hits(
+                        raw[0], (raw[1][3], raw[1][1]), len(raw[0]),
+                        live, n_live, offset, head, nB_real, key)
+            if verdict != "dense":
+                ids = self.encode(signs)
+                if len(ids) == 0:
+                    return MatchSet(self.machine, self.tables,
+                                    np.zeros(0, np.int64),
+                                    np.zeros(0, np.int32),
+                                    np.zeros(0, np.int32))
+                out = self._sparse_hits(ids, offset, head, key)
+                if out is not None:
+                    return out
         st = self._stepped
         placed, T = self._placed_for(signs)
         if placed is None:
@@ -1294,6 +1342,41 @@ class ShardedScanner:
         ends, end_states, idx = expand_hits_arrays(
             positions[order], sts[order], self.tables, offset)
         return MatchSet(self.machine, self.tables, ends, end_states, idx)
+
+    def _elided_hits(self, arr, lut, T: int, live, n_live: int, offset,
+                     head, nB_real: int, max_hits_per_shard: int):
+        """Mesh bounded hits over host-elided windows: only the live
+        windows upload, sharded along the window axis; positions are
+        absolute via the sharded block-index array. The mesh sibling of
+        DenseScanner._elided_hits."""
+        from ..models.results import MatchSet
+        from ..ops.decode import expand_hits_arrays
+        from ..ops.sparse import elide_windows
+        halo, L_blk = self.halo, 128
+        tm, idx = elide_windows(arr, lut, T, live, n_live, head, halo,
+                                L_blk, nB_real, pad_cols_to=self.n_dev)
+        placed_tm = jax.device_put(
+            tm, NamedSharding(self.mesh, P(None, self.axis_name)))
+        placed_idx = jax.device_put(idx.astype(np.int32), self._shard)
+        fn = make_sharded_elided_hits(self.mesh, self.V, halo, L_blk,
+                                      max_hits_per_shard, self.axis_name)
+        positions, sts, n_hit_pos = fn(self._dflat, self._nb_out,
+                                       placed_tm, placed_idx)
+        n_hit_pos = np.asarray(n_hit_pos)
+        if int(n_hit_pos.max()) > max_hits_per_shard:
+            raise ValueError(
+                f"a shard has {int(n_hit_pos.max())} matching positions, "
+                f"over max_hits_per_shard={max_hits_per_shard}")
+        positions = np.asarray(positions).reshape(-1)
+        sts = np.asarray(sts).reshape(-1)
+        keep = (positions >= 0) & (positions < T)
+        positions, sts = positions[keep], sts[keep]
+        order = np.argsort(positions, kind="stable")
+        self.stats["sparse_elided_upload_bytes"] = int(tm.nbytes)
+        ends, end_states, idx_out = expand_hits_arrays(
+            positions[order], sts[order], self.tables, offset)
+        return MatchSet(self.machine, self.tables, ends, end_states,
+                        idx_out)
 
     def _sparse_hits(self, ids: np.ndarray, offset, head, max_hits: int):
         """Sharded filter-then-extract retrieval: the mesh sibling of

@@ -148,6 +148,29 @@ def mesh8():
     return make_mesh(8)
 
 
+def test_mesh_elided_hits_parity(machine, mesh8):
+    """Mesh elided retrieval: very sparse raw corpus, windows sharded,
+    absolute positions via the sharded block indices."""
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+    sh = ShardedScanner(machine, mesh8, n_streams_per_device=4,
+                        prefilter="on")
+    text = "z" * 30_000 + "needle" + "z" * 20_000 + "pinhay" + "z" * 3000
+    ref = machine.scanner().find_matches(text)
+    got = sh.find_matches(text, max_hits_per_shard=64)
+    assert np.array_equal(got.ends, ref.ends)
+    assert np.array_equal(got.end_states, ref.end_states)
+    assert "sparse_elided_upload_bytes" in sh.stats
+    # session carry across a mid-keyword chunk edge
+    sess = sh.session()
+    e = [(ev.end, mt.text()) for ev, mt in
+         sess.feed_matches(text[:30_003], max_hits=64)]
+    e += [(ev.end, mt.text()) for ev, mt in
+          sess.feed_matches(text[30_003:], max_hits=64)]
+    assert e == [(ev.end, mt.text()) for ev, mt in ref]
+    with pytest.raises(ValueError, match="max_hits_per_shard"):
+        sh.find_matches(text, max_hits_per_shard=1)
+
+
 def test_mesh_sparse_hits_parity(machine, mesh8):
     from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
     rng = random.Random(7)
