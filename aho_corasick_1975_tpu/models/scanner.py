@@ -29,6 +29,18 @@ from ..ops.scan_xla import (make_blocked_count, make_blocked_count_stream,
 from .snapshot import DeviceSnapshot
 
 
+def _guard_pos32(n_symbols: int) -> None:
+    """Retrieval kernels compute hit POSITIONS in device int32 (count
+    paths don't — their totals reduce in int64 on the host). Past ~2^31
+    symbols an overflowed position would go negative and be silently
+    dropped by the keep-filter; refuse instead (margin covers block/
+    stream padding)."""
+    if n_symbols >= (2 ** 31) - (1 << 20):
+        raise ValueError(
+            f"retrieval positions are int32 on device and this stream has "
+            f"{n_symbols} symbols; chunk it with scanner.session()")
+
+
 def _is_device_array(x) -> bool:
     """jax.Array input = pre-encoded DEVICE-RESIDENT letter ids (serving a
     corpus already in HBM): no host staging, no re-upload. The caller
@@ -1178,14 +1190,15 @@ class DenseScanner:
                             np.zeros(0, np.int64), np.zeros(0, np.int32),
                             np.zeros(0, np.int32))
         t0 = time.perf_counter()
+        raw = self._raw_stream(signs)
         if self._prefilter != "off" and max_hits is not None \
                 and not _is_device_array(signs):
-            out = self._sparse_hits(signs, offset, head, int(max_hits))
+            out = self._sparse_hits(signs, offset, head, int(max_hits),
+                                    raw=raw)
             if out is not None:
                 self._record("find_matches_sparse", len(signs),
                              time.perf_counter() - t0)
                 return out
-        raw = self._raw_stream(signs)
         # max_hits None = AUTO (stepped path only): buffers sized from the
         # scan phase's live-gram count — a live gram holds at most k hit
         # positions, so cap*k bounds extraction and overflow cannot occur.
@@ -1199,6 +1212,8 @@ class DenseScanner:
                 raise ValueError(
                     "device-array input must be integer letter ids "
                     f"(got dtype {signs.dtype})")
+        _guard_pos32(len(raw[0]) if raw is not None else
+                     int(signs.shape[0]) if device_in else len(signs))
         with self._dispatch:
             # Engine state is read UNDER the dispatch lock: recalibrate()
             # may rebind engines concurrently, and the routing decision in
@@ -1379,7 +1394,7 @@ class DenseScanner:
         self._pk1_cache = (ver, entry)
         return entry
 
-    def _sparse_hits(self, signs, offset, head, max_hits):
+    def _sparse_hits(self, signs, offset, head, max_hits, raw=None):
         """Filter-then-extract match retrieval (the sparse companion of
         _sparse_count): the host bandwidth pass marks live blocks, the
         device scans only their halo windows and returns bounded hit
@@ -1398,7 +1413,8 @@ class DenseScanner:
         L_blk = 128
         if halo > L_blk:
             return None
-        raw = self._raw_stream(signs)
+        if raw is None:
+            raw = self._raw_stream(signs)
         if raw is not None:
             verdict, live, n_live, nB_real = sparse.raw_elision_plan(
                 raw[0], raw[1][3], raw[1][1], self._prefilter, halo,
@@ -1420,6 +1436,7 @@ class DenseScanner:
                                          nB_real, max_hits)
         ids = self.encode(signs)
         T = len(ids)
+        _guard_pos32(T)
         nB_real = -(-T // L_blk)
         live = sparse.live_blocks(ids, L_blk)
         n_live = int(live.sum())
@@ -1480,6 +1497,7 @@ class DenseScanner:
         from ..ops import sparse
         from ..ops.decode import expand_hits_arrays
         from .results import MatchSet
+        _guard_pos32(T)
         with self._dispatch:
             tm, idx = sparse.elide_windows(arr, lut, T, live, n_live,
                                            head, halo, L_blk, nB_real)

@@ -61,7 +61,7 @@ def live_blocks(ids: np.ndarray, L_blk: int) -> np.ndarray:
 
 def elide_windows(arr: np.ndarray, lut, T: int, live: np.ndarray,
                   n_live: int, head, halo: int, L_blk: int, nB_real: int,
-                  pad_cols_to: int = 1) -> np.ndarray:
+                  pad_cols_to: int = 1):
     """HOST-side dead-block elision (round 4): gather the live blocks'
     halo windows directly from the symbol array — no full-length staging
     buffer (at GB scale the zeros+copy alone dominated on slow-first-touch

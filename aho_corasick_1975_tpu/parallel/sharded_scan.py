@@ -345,11 +345,9 @@ def make_sharded_elided_hits(mesh: Mesh, V: int, halo: int, L_blk: int,
     from ..ops.sparse import _window_hits_core
 
     def local(dflat, nb_out, tm, idx):
-        L = tm.shape[0]
-        win = tm.reshape(L, -1)
+        # per-shard blocks arrive shaped [halo+L_blk, cap/n_dev] / [cap/n_dev]
         positions, sts, _, n_hit_pos = _window_hits_core(
-            V, halo, L_blk, max_hits_per_shard, dflat, nb_out, win,
-            idx.reshape(-1))
+            V, halo, L_blk, max_hits_per_shard, dflat, nb_out, tm, idx)
         return (lax.all_gather(positions, axis_name),
                 lax.all_gather(sts, axis_name),
                 lax.all_gather(n_hit_pos, axis_name))
@@ -989,20 +987,9 @@ class ShardedScanner:
         return self._count_placed(placed, head)
 
     def _count_device(self, ids, head) -> int:
-        import jax.numpy as jnp
-        if not jnp.issubdtype(ids.dtype, jnp.integer):
-            raise ValueError("device-array input must be integer letter "
-                             f"ids (got dtype {ids.dtype})")
-        T = int(ids.shape[0])
-        if T == 0:
+        placed, _ = self._placed_for(ids)
+        if placed is None:
             return 0
-        min_shard = max(self.halo, self._halo_sym, 1)
-        if T % self.n_dev or T // self.n_dev < min_shard:
-            raise ValueError(
-                f"device-resident mesh input length {T} must be divisible "
-                f"by the {self.n_dev}-device mesh with at least "
-                f"{min_shard} symbols per shard; pad with OOV id 0")
-        placed = ids if ids.dtype == jnp.int32 else ids.astype(jnp.int32)
         return self._count_placed(placed, head)
 
     def _count_placed(self, placed, head) -> int:
@@ -1146,6 +1133,8 @@ class ShardedScanner:
                     "device-array input must be integer letter ids "
                     f"(got dtype {signs.dtype})")
             T = int(signs.shape[0])
+            if T == 0:
+                return None, 0
             min_shard = max(self.halo, self._halo_sym, 1)
             if T % self.n_dev or T // self.n_dev < min_shard:
                 raise ValueError(
@@ -1301,12 +1290,15 @@ class ShardedScanner:
                 out = self._sparse_hits(ids, offset, head, key)
                 if out is not None:
                     return out
+                signs = ids  # already encoded: _placed_for reuses it
         st = self._stepped
         placed, T = self._placed_for(signs)
         if placed is None:
             return MatchSet(self.machine, self.tables,
                             np.zeros(0, np.int64), np.zeros(0, np.int32),
                             np.zeros(0, np.int32))
+        from ..models.scanner import _guard_pos32
+        _guard_pos32(T)
         if st is not None and st.packed is not None and self._mxu is None:
             # Retrieval at count-engine speed (VERDICT r3 #3), mesh-wide.
             hits_fn = make_sharded_stepped_hits(
@@ -1350,8 +1342,10 @@ class ShardedScanner:
         absolute via the sharded block-index array. The mesh sibling of
         DenseScanner._elided_hits."""
         from ..models.results import MatchSet
+        from ..models.scanner import _guard_pos32
         from ..ops.decode import expand_hits_arrays
         from ..ops.sparse import elide_windows
+        _guard_pos32(T)
         halo, L_blk = self.halo, 128
         tm, idx = elide_windows(arr, lut, T, live, n_live, head, halo,
                                 L_blk, nB_real, pad_cols_to=self.n_dev)

@@ -76,6 +76,11 @@ def test_sharded_device_resident_count(mesh8):
              for ev, mt in sharded.find_matches(placed,
                                                 max_hits_per_shard=2048)]
     assert got == got_b == want
+    # empty device arrays: empty results, not a divisibility error
+    empty = jnp.zeros(0, jnp.int32)
+    assert sharded.count(empty) == 0
+    assert len(sharded.scan_states(empty)) == 0
+    assert len(sharded.find_matches(empty, max_hits_per_shard=8)) == 0
 
 
 def test_match_spanning_shard_boundary(mesh8):
