@@ -1281,8 +1281,10 @@ class DenseScanner:
                         # n_hit_pos <= n_hits (phase A's exact match
                         # total), so this output bound cannot overflow
                         # and is tighter than cap*k on multi-match
-                        # positions' corpora.
-                        n_hits = int(n_hits_dev)
+                        # positions' corpora. Per-stream int32 counts
+                        # combine in int64 here (two-level reduction).
+                        n_hits = int(np.asarray(n_hits_dev)
+                                     .sum(dtype=np.int64))
                         out_size = min(
                             cap * st.k,
                             max(8, 1 << (max(n_hits, 1) - 1).bit_length()))
@@ -1613,7 +1615,13 @@ class StreamSession:
         offset = self.offset
         head = self._advance(signs)
         if not len(signs):
-            return []
+            # Same columnar type as every other retrieval (an empty chunk
+            # must still expose .ends/.starts — review r4 missed this one
+            # empty-return site).
+            from .results import MatchSet
+            s = self.scanner
+            return MatchSet(s.machine, s.tables, np.zeros(0, np.int64),
+                            np.zeros(0, np.int32), np.zeros(0, np.int32))
         kw = {}
         if max_hits is not None:
             # mesh scanners bound hits per shard; single-chip per chunk

@@ -20,6 +20,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <mutex>
@@ -1072,6 +1073,15 @@ int64_t acx_export_arrays(Machine* m, int64_t n_limit, int32_t* fail,
 // tests.
 void acx_debug_set_counts(Machine* m, int32_t state, int64_t nb,
                           int64_t rank) {
+  // Runtime gate (ADVICE r4): inert unless the caller opted into the
+  // testing surface — a production process that never sets ACX_TESTING
+  // cannot corrupt a machine through this symbol.
+  if (std::getenv("ACX_TESTING") == nullptr) {
+    std::fprintf(stderr,
+                 "acx_debug_set_counts: ignored (set ACX_TESTING=1 to "
+                 "enable this test-only hook)\n");
+    return;
+  }
   std::lock_guard<std::mutex> lock(m->token);
   m->nb_outputs[state] = nb;
   m->kw_rank[state] = rank;

@@ -148,7 +148,11 @@ def _stepped_emit_scan(V: int, k: int, Vk: int, count_bits: int,
 
     _, emit = lax.scan(step, s0, grams)              # [Lk, B]
     body = emit[halo_steps:]
-    n_hits = jnp.sum(body & mask, dtype=jnp.int32)
+    # n_hits reduces PER COLUMN in int32 (each column is bounded by
+    # L*max_nb, the scanner's _guard_acc bound) and the host combines in
+    # int64 — two-level reduction, so >2^31 total matches cannot wrap and
+    # silently truncate the auto-sized MatchSet (ADVICE r4).
+    n_hits = jnp.sum(body & mask, axis=0, dtype=jnp.int32)   # [B]
     n_live = jnp.sum((body & mask) > 0, dtype=jnp.int32)
     return emit, n_hits, n_live
 
@@ -206,7 +210,7 @@ def stepped_hits_core(V: int, k: int, Vk: int, count_bits: int,
     ext: the [halo_steps*k + B*L] contiguous symbol stream the win layout
     was built from (1-D symbol gathers); win: [halo_steps*k + L, B].
     Returns (positions[max_hits] ascending (-1 pad), states[max_hits],
-    n_hits, n_hit_pos, n_live). Callers must treat ``n_live > max_hits``
+    n_hits [B] per-stream (int64-sum on host), n_hit_pos, n_live). Callers must treat ``n_live > max_hits``
     as overflow (refinement truncated; n_hit_pos is then a lower bound)
     and ``n_hit_pos > max_hits`` as extraction overflow."""
     emit, n_hits, n_live = _stepped_emit_scan(V, k, Vk, count_bits,
@@ -223,9 +227,10 @@ def make_stepped_hits_scan(V: int, k: int, Vk: int, count_bits: int,
                            halo_steps: int, B: int, L: int):
     """Phase A (stream input): the packed k-gram scan over ext
     [halo_steps*k + B*L], returning (emit [Lk, B] device-resident,
-    n_hits, n_live). The caller syncs only the two scalars, picks a pow2
-    cap bucket from n_live, and feeds emit to the extract phase — so
-    extraction cost tracks the corpus's actual match density."""
+    n_hits [B] per-stream, n_live). The caller syncs only the tiny
+    counters (summing n_hits in int64 on host), picks a pow2 cap bucket
+    from n_live, and feeds emit to the extract phase — so extraction
+    cost tracks the corpus's actual match density."""
     from .scan_xla import window_layout
 
     @jax.jit

@@ -19,6 +19,7 @@ host-count-aware.
 
 from __future__ import annotations
 
+import threading
 from functools import lru_cache
 from typing import Optional
 
@@ -691,19 +692,24 @@ class ShardedScanner:
         self._device_encode_max_cp = device_encode_max_cp
         self._lut_cache: dict = {}
         self.stats: dict = {}
+        # Dispatch lock (parity with DenseScanner, review r5): scans,
+        # refresh() and recalibrate() serialize, so a kernel rebind can
+        # never interleave with an in-flight scan's engine reads.
+        self._dispatch = threading.RLock()
         self._bind_kernels()
         if calibrate and engine == "auto":
             self._calibrate_engine()
 
     def recalibrate(self) -> str:
         """Re-measure the engine choice on this mesh NOW (ignoring the
-        cached choice) and rebind; returns the winner. Unlike
-        DenseScanner.recalibrate this does NOT serialize against
-        concurrent scans (the mesh scanner has no dispatch lock — its
-        staging is per-call); callers must not scan concurrently with a
-        recalibration, the same documented contract as refresh()."""
-        self._calibrate_engine(force=True)
-        return self._engine
+        cached choice) and rebind; returns the winner. Holds the dispatch
+        lock, so in-flight scans on other threads finish before the
+        rebind and later scans see the new engine — the same contract as
+        DenseScanner.recalibrate (review r5: this was documented-unsafe
+        while the single-chip sibling was locked)."""
+        with self._dispatch:
+            self._calibrate_engine(force=True)
+            return self._engine
 
     def _calibrate_engine(self, force: bool = False) -> None:
         """Measured engine selection on the mesh (ops/autotune.py, the
@@ -836,15 +842,16 @@ class ShardedScanner:
         donated). The scatter executes replicated on every device, so the
         update costs one host->device transfer of the changed cells and no
         collective traffic."""
-        new = self.machine.compile()
-        if new.version == self.tables.version:
-            return True
-        status = self._snap.refresh(new)
-        need = max(new.max_depth - 1, 0)
-        if need > self.halo:
-            self.halo = -(-need // 8) * 8
-        self._bind_kernels()
-        return status != "rebuild"
+        with self._dispatch:
+            new = self.machine.compile()
+            if new.version == self.tables.version:
+                return True
+            status = self._snap.refresh(new)
+            need = max(new.max_depth - 1, 0)
+            if need > self.halo:
+                self.halo = -(-need // 8) * 8
+            self._bind_kernels()
+            return status != "rebuild"
 
     def encode(self, signs) -> np.ndarray:
         """Map signs to dense letter ids (OOV -> 0); int32 arrays pass
@@ -948,6 +955,11 @@ class ShardedScanner:
 
     def count(self, signs, head=None) -> int:
         from ..models.scanner import _is_device_array
+        with self._dispatch:
+            return self._count_locked(signs, head)
+
+    def _count_locked(self, signs, head) -> int:
+        from ..models.scanner import _is_device_array
         if _is_device_array(signs):
             # Device-resident mesh input (serving a corpus already placed
             # across the mesh): no host staging, no per-call device_put —
@@ -956,6 +968,7 @@ class ShardedScanner:
             # sibling of DenseScanner's jax.Array fast path). The caller
             # guarantees values lie in [0, V).
             return self._count_device(signs, head)
+        dense_verdict = False
         if self._prefilter != "off" and len(signs):
             # Raw-input dead-block elision, mesh-wide: filter + window
             # gather on host BEFORE any encode; only the live windows
@@ -967,6 +980,10 @@ class ShardedScanner:
                 if isinstance(n, int):
                     return n
                 if n == "dense":
+                    # The filter already judged the corpus dense; remember
+                    # it so the id path below does not re-run the sparse
+                    # prefilter over the whole corpus (ADVICE r4).
+                    dense_verdict = True
                     n = self._count_raw(raw[0], raw[1], head)
                     if n is not None:
                         return n
@@ -979,7 +996,7 @@ class ShardedScanner:
         ids = self.encode(signs)
         if len(ids) == 0:
             return 0
-        if self._prefilter != "off":
+        if self._prefilter != "off" and not dense_verdict:
             n = self._sparse_count(ids, head)
             if n is not None:
                 return n
@@ -1151,11 +1168,13 @@ class ShardedScanner:
         return self._pad_and_place(ids)
 
     def scan_states(self, signs, head=None) -> np.ndarray:
-        placed, T = self._placed_for(signs)
-        if placed is None:
-            return np.zeros(0, np.int32)
-        return np.asarray(self._scan(self._dflat, placed,
-                                     head=self._head_arr(head, self.halo)))[:T]
+        with self._dispatch:
+            placed, T = self._placed_for(signs)
+            if placed is None:
+                return np.zeros(0, np.int32)
+            return np.asarray(
+                self._scan(self._dflat, placed,
+                           head=self._head_arr(head, self.halo)))[:T]
 
     def count_many(self, docs) -> np.ndarray:
         """Per-document match counts for a batch of independent documents in
@@ -1176,8 +1195,10 @@ class ShardedScanner:
         from ..models.scanner import DenseScanner
         lengths = np.asarray([len(e) for e in encoded], np.int64)
         out = np.zeros(n, np.int64)
-        for L, idx in DenseScanner._length_buckets(lengths, unit):
-            out[idx] = self._count_many_launch([encoded[i] for i in idx], L)
+        with self._dispatch:
+            for L, idx in DenseScanner._length_buckets(lengths, unit):
+                out[idx] = self._count_many_launch(
+                    [encoded[i] for i in idx], L)
         return out
 
     def _count_many_launch(self, encoded, L: int) -> np.ndarray:
@@ -1236,6 +1257,12 @@ class ShardedScanner:
 
         Returns a columnar ``MatchSet`` (models/results.py) — list-
         compatible, arrays for the bulk data."""
+        with self._dispatch:
+            return self._find_matches_locked(signs, offset, head,
+                                             max_hits_per_shard)
+
+    def _find_matches_locked(self, signs, offset, head,
+                             max_hits_per_shard):
         from ..models.results import MatchSet
         from ..ops.decode import decode_matches_arrays, expand_hits_arrays
         auto = max_hits_per_shard is None

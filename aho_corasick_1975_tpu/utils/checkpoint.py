@@ -55,6 +55,45 @@ def _pickle_or_marker(fn: Any) -> bytes:
         return _NOT_SAVED
 
 
+class _ValueNotSaved:
+    """Sentinel restored in place of a user value that was not picklable at
+    save time (same refuse-loudly-or-marker convention as callables; the
+    reference supports arbitrary opaque values, aho_corasick.h:56-59).
+    Re-insert the keyword with its value to re-attach it."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self):
+        return "<value not saved: unpicklable at checkpoint time>"
+
+
+VALUE_NOT_SAVED = _ValueNotSaved()
+
+
+def _pickle_values(values: dict) -> tuple[bytes, str]:
+    """Pickle the end-state -> user-value map. Fast path: one dict pickle.
+    When any VALUE is unpicklable (open file handle, lambda, ...), fall
+    back to per-value pickling with a NOT_SAVED marker for the offenders —
+    the save never dies on an opaque value (review r4: callables got the
+    marker treatment, values crashed with a raw PicklingError)."""
+    try:
+        return pickle.dumps(values), "dict"
+    except Exception:
+        pass
+    blobs: dict = {}
+    for k, v in values.items():
+        try:
+            blobs[k] = pickle.dumps(v)
+        except Exception:
+            blobs[k] = None            # marker: restored as VALUE_NOT_SAVED
+    return pickle.dumps(blobs), "per-value"
+
+
 def _vocab_kind(vocab) -> str:
     from ..models.bytes_machine import _ByteVocab
     if isinstance(vocab, _ByteVocab):
@@ -86,11 +125,12 @@ def save_machine(machine, path_or_file: Union[str, BinaryIO]) -> None:
         key_fn_blob = _pickle_or_marker(vocab.key_fn)
         cmp_fn_blob = (_pickle_or_marker(vocab.cmp_fn)
                        if kind == "cmp" else _NOT_SAVED)
-    values_blob = pickle.dumps(machine._values)
+    values_blob, values_mode = _pickle_values(machine._values)
     np.savez_compressed(
         path_or_file,
         format_version=np.int64(FORMAT_VERSION),
         incremental=np.bool_(machine.incremental),
+        values_mode=np.bytes_(values_mode.encode()),
         vocab_kind=np.bytes_(kind.encode()),
         prev_state=prev_state,
         prev_letter=prev_letter,
@@ -183,7 +223,22 @@ def load_machine(path_or_file: Union[str, BinaryIO], key_fn: Any = "saved",
             v._signs.append(sign)
         v._version += 1  # invalidate encode LUT caches
 
-    values = pickle.loads(z["values"].tobytes())
+    values_mode = (z["values_mode"].tobytes().decode()
+                   if "values_mode" in z.files else "dict")
+    if values_mode == "per-value":
+        blobs = pickle.loads(z["values"].tobytes())
+        values = {k: (VALUE_NOT_SAVED if b is None else pickle.loads(b))
+                  for k, b in blobs.items()}
+        n_lost = sum(1 for b in blobs.values() if b is None)
+        if n_lost:
+            import warnings
+            warnings.warn(
+                f"{n_lost} keyword value(s) were not picklable at save "
+                "time and restore as checkpoint.VALUE_NOT_SAVED; "
+                "re-insert those keywords with their values to re-attach "
+                "them", stacklevel=2)
+    else:
+        values = pickle.loads(z["values"].tobytes())
     prev_state = z["prev_state"]
     prev_letter = z["prev_letter"]
     is_end = z["is_end"]

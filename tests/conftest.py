@@ -10,6 +10,10 @@ initialization — hence at conftest import time.
 
 import os
 
+# The native debug hook (acx_debug_set_counts) is runtime-gated: inert in
+# production processes, live only under this opt-in (ADVICE r4).
+os.environ.setdefault("ACX_TESTING", "1")
+
 if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")
