@@ -1166,11 +1166,15 @@ class DenseScanner:
         more positions match — retry larger or chunk with a session), and
         is the only fast path for engines without a packed table."""
         from .results import MatchSet
-        if max_hits is not None or (
+        if max_hits is not None or self._prefilter != "off" or (
                 self._stepped is not None
                 and self._stepped.packed is not None
-                and self._mxu is None
-                and self._prefilter == "off"):
+                and self._mxu is None):
+            # Fast retrieval is the DEFAULT on prefilter scanners too
+            # (VERDICT r4 #1): the no-arg call routes through the sparse/
+            # elided bounded path with auto-sized buffers — sparse corpora
+            # are the prefilter's reason to exist, so their default
+            # retrieval must not be the full per-position decode.
             return self._find_matches_device(signs, offset, head, max_hits)
         states = self.scan_states(signs, head=head)
         ends, end_states, idx = decode_matches_arrays(states, self.tables,
@@ -1191,10 +1195,13 @@ class DenseScanner:
                             np.zeros(0, np.int32))
         t0 = time.perf_counter()
         raw = self._raw_stream(signs)
-        if self._prefilter != "off" and max_hits is not None \
-                and not _is_device_array(signs):
-            out = self._sparse_hits(signs, offset, head, int(max_hits),
-                                    raw=raw)
+        if self._prefilter != "off" and not _is_device_array(signs):
+            # max_hits None = AUTO here too: _sparse_hits sizes its hit
+            # buffers from the live-block count (a live block holds at
+            # most L_blk hit positions — structural, no user parameter).
+            out = self._sparse_hits(
+                signs, offset, head,
+                None if max_hits is None else int(max_hits), raw=raw)
             if out is not None:
                 self._record("find_matches_sparse", len(signs),
                              time.perf_counter() - t0)
@@ -1405,6 +1412,11 @@ class DenseScanner:
         bounded-hits kernel. Uses the dense-table halo (per-position
         states are required, so the packed k-gram core does not apply).
 
+        ``max_hits=None`` = AUTO (round 5: the no-arg default on
+        prefilter scanners): buffers size to n_live * L_blk — a live
+        block holds at most L_blk matching positions, so overflow is
+        structurally impossible and the overflow raise is skipped.
+
         Round 4: a raw input first tries the DEAD-BLOCK-ELIDED variant —
         filter over the raw bytes, upload only the live windows
         (ops/sparse.make_elided_hits) — the retrieval sibling of the
@@ -1452,6 +1464,10 @@ class DenseScanner:
             return None
         nB = 1 << (nB_real - 1).bit_length()
         cap = max(8, 1 << (n_live - 1).bit_length())
+        auto = max_hits is None
+        if auto:
+            # Structural bound: every hit position lies in a live block.
+            max_hits = max(8, 1 << (n_live * L_blk - 1).bit_length())
         n_ext = halo + (nB + 1) * L_blk
         with self._dispatch:
             key = ("sparse", n_ext)
@@ -1478,7 +1494,7 @@ class DenseScanner:
             sts = np.asarray(sts)
         keep = (positions >= 0) & (positions < T)
         positions, sts = positions[keep], sts[keep]
-        if n_hit_pos > max_hits:
+        if not auto and n_hit_pos > max_hits:
             raise ValueError(
                 f"{n_hit_pos} matching positions exceed max_hits="
                 f"{max_hits}; raise max_hits or chunk the stream with a "
@@ -1492,14 +1508,19 @@ class DenseScanner:
 
     def _elided_hits(self, arr, lut, T: int, live, n_live: int, offset,
                      head, halo: int, L_blk: int, nB_real: int,
-                     max_hits: int):
+                     max_hits):
         """Bounded hits over host-elided live windows: only the live
         windows upload (ops/sparse.elide_windows + make_elided_hits);
-        positions recover from the uploaded block indices."""
+        positions recover from the uploaded block indices.
+        ``max_hits=None`` = AUTO: buffers size to the structural
+        n_live * L_blk bound (no overflow possible, no raise)."""
         from ..ops import sparse
         from ..ops.decode import expand_hits_arrays
         from .results import MatchSet
         _guard_pos32(T)
+        auto = max_hits is None
+        if auto:
+            max_hits = max(8, 1 << (n_live * L_blk - 1).bit_length())
         with self._dispatch:
             tm, idx = sparse.elide_windows(arr, lut, T, live, n_live,
                                            head, halo, L_blk, nB_real)
@@ -1513,7 +1534,7 @@ class DenseScanner:
             sts = np.asarray(sts)
         keep = (positions >= 0) & (positions < T)
         positions, sts = positions[keep], sts[keep]
-        if n_hit_pos > max_hits:
+        if not auto and n_hit_pos > max_hits:
             raise ValueError(
                 f"{n_hit_pos} matching positions exceed max_hits="
                 f"{max_hits}; raise max_hits or chunk the stream with a "

@@ -541,6 +541,120 @@ def make_sharded_stepped_hits(mesh: Mesh, V: int, k: int, Vk: int,
     return fn
 
 
+def _stepped_geometry(Tl: int, k: int, n_streams_per_device: int):
+    """Per-shard blocked geometry for the stepped kernels — must agree
+    between the hits scan and extract phases (both derive it from the
+    static local length)."""
+    unit = 64 * k
+    B = min(n_streams_per_device, max(1, Tl // unit))
+    L = -(-(-(-Tl // B)) // unit) * unit
+    return B, L
+
+
+@lru_cache(maxsize=None)
+def make_sharded_stepped_hits_scan(mesh: Mesh, V: int, k: int, Vk: int,
+                                   count_bits: int, halo_steps: int,
+                                   n_streams_per_device: int = 256,
+                                   axis_name: str = DATA_AXIS):
+    """Phase A of SINGLE-PASS mesh auto retrieval (VERDICT r4 #2): each
+    shard runs the packed k-gram count-speed scan ONCE, leaving its emit
+    array device-resident and SHARDED; only the tiny per-shard counters
+    all_gather back replicated. The caller syncs the counters, picks the
+    pow2 cap/out buckets from the PER-SHARD maxima (not the global total
+    — ADVICE r4: the old auto path sized every shard's buffer from the
+    global count and could OOM on match-dense corpora), and feeds emit to
+    the extract phase. One corpus pass total, vs the old count()+hits
+    double scan.
+
+    Returns jitted scan(packed, ids[, head]) ->
+      (emit [D, halo_steps+Lk, B] sharded along axis 0,
+       n_hits [D, B] replicated int32 per-stream (host sums in int64),
+       n_live [D] replicated)."""
+    from ..ops.hits import _stepped_emit_scan
+    n_dev = mesh.shape[axis_name]
+    halo_sym = halo_steps * k
+
+    def local_scan(packed, head, ids_local):
+        ids_local = ids_local.reshape(-1)
+        Tl = ids_local.shape[0]
+        left = _right_shift_halo(ids_local, halo_sym, axis_name, n_dev,
+                                 head)
+        B, L = _stepped_geometry(Tl, k, n_streams_per_device)
+        pad = B * L - Tl
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
+        win = window_layout(ext, B, L, halo_sym)
+        emit, n_hits, n_live = _stepped_emit_scan(
+            V, k, Vk, count_bits, halo_steps, packed, win)
+        return (emit[None],                      # [1, halo_steps+Lk, B]
+                lax.all_gather(n_hits, axis_name),
+                lax.all_gather(n_live[None], axis_name))
+
+    inner = jax.jit(jax.shard_map(
+        local_scan, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name)),
+        out_specs=(P(axis_name), P(), P()), check_vma=False))
+
+    def fn(packed, ids, head=None):
+        if head is None:
+            head = np.zeros(halo_sym, np.int32)
+        return inner(packed, head, ids)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def make_sharded_stepped_hits_extract(mesh: Mesh, V: int, k: int,
+                                      count_bits: int, halo_steps: int,
+                                      cap: int, out_size: int,
+                                      n_streams_per_device: int = 256,
+                                      axis_name: str = DATA_AXIS):
+    """Phase B of single-pass mesh auto retrieval: refine each shard's
+    live grams from the resident emit array (compiled at the pow2 ``cap``
+    bucket of the actual per-shard live maximum; ``out_size`` from the
+    per-shard exact match totals, so overflow is impossible in auto
+    mode). Re-derives the halo'd local symbol stream with one ppermute —
+    negligible next to the avoided second corpus scan.
+
+    Returns jitted extract(dflat, nb_out, ids, emit[, head]) ->
+      (positions [D, out_size] absolute (-1 pad), states [D, out_size]),
+    both replicated."""
+    from ..ops.hits import _hits_extract
+    n_dev = mesh.shape[axis_name]
+    halo_sym = halo_steps * k
+
+    def local_extract(dflat, nb_out, head, ids_local, emit_local):
+        ids_local = ids_local.reshape(-1)
+        Tl = ids_local.shape[0]
+        left = _right_shift_halo(ids_local, halo_sym, axis_name, n_dev,
+                                 head)
+        B, L = _stepped_geometry(Tl, k, n_streams_per_device)
+        pad = B * L - Tl
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
+        emit = emit_local.reshape(emit_local.shape[-2],
+                                  emit_local.shape[-1])
+        positions, sts, _ = _hits_extract(
+            V, k, count_bits, halo_steps, cap, out_size, emit,
+            lambda p: ext[halo_sym + p], dflat, nb_out)
+        shard_base = lax.axis_index(axis_name) * Tl
+        positions = jnp.where(positions >= 0, positions + shard_base, -1)
+        return (lax.all_gather(positions, axis_name),
+                lax.all_gather(sts, axis_name))
+
+    inner = jax.jit(jax.shard_map(
+        local_extract, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()), check_vma=False))
+
+    def fn(dflat, nb_out, ids, emit, head=None):
+        if head is None:
+            head = np.zeros(halo_sym, np.int32)
+        return inner(dflat, nb_out, head, ids, emit)
+
+    return fn
+
+
 @lru_cache(maxsize=None)
 def make_sharded_sparse_hits(mesh: Mesh, V: int, halo: int, L_blk: int,
                              nB_loc: int, cap: int,
@@ -1248,12 +1362,14 @@ class ShardedScanner:
         ``head``: session carry (previous chunk tail ids) for shard 0's halo.
         ``max_hits_per_shard``: bound the per-shard hit buffers of the
         all_gather bounded-hit path (only hits travel; raises if any
-        shard overflows). With NO bound (the default) and a packed
-        stepped table, the buffers AUTO-SIZE: a fast count() pass learns
-        the exact global match total, which upper-bounds any shard's hit
-        positions — still ~2x faster than shipping every per-position
-        state at corpus scale, and overflow-free. Engines without a
-        packed table fall back to the full per-position decode.
+        shard overflows). With NO bound (the default) the buffers
+        AUTO-SIZE in ONE corpus pass (round 5): the count-speed scan
+        phase leaves each shard's emit array resident and returns the
+        per-shard live/hit counters, and the extract phase compiles at
+        their pow2 buckets — per-device memory scales with the densest
+        shard, overflow is structurally impossible. Prefilter scanners
+        default to the sparse/elided bounded path the same way. Engines
+        without a packed table fall back to the full per-position decode.
 
         Returns a columnar ``MatchSet`` (models/results.py) — list-
         compatible, arrays for the bulk data."""
@@ -1266,28 +1382,14 @@ class ShardedScanner:
         from ..models.results import MatchSet
         from ..ops.decode import decode_matches_arrays, expand_hits_arrays
         auto = max_hits_per_shard is None
-        if auto:
-            st = self._stepped
-            if (st is not None and st.packed is not None
-                    and self._mxu is None and self._prefilter == "off"
-                    and len(signs)):
-                total = self.count(signs, head=head)
-                if total == 0:
-                    return MatchSet(self.machine, self.tables,
-                                    np.zeros(0, np.int64),
-                                    np.zeros(0, np.int32),
-                                    np.zeros(0, np.int32))
-                max_hits_per_shard = max(
-                    8, 1 << (int(total) - 1).bit_length())
-            else:
-                states = self.scan_states(signs, head=head)
-                ends, end_states, idx = decode_matches_arrays(
-                    states, self.tables, offset)
-                return MatchSet(self.machine, self.tables, ends,
-                                end_states, idx)
         from ..models.scanner import _is_device_array
-        key = int(max_hits_per_shard)
-        if self._prefilter != "off" and not _is_device_array(signs):
+        key = None if auto else int(max_hits_per_shard)
+        if self._prefilter != "off" and not _is_device_array(signs) \
+                and len(signs):
+            # Sparse retrieval is the DEFAULT on prefilter scanners
+            # (VERDICT r4 #1, mesh side): auto (key=None) sizes the
+            # per-shard hit buffers from the live-window counts — a live
+            # window holds at most L_blk hit positions, structurally.
             raw = self._raw_stream(signs)
             verdict = None
             if raw is not None:
@@ -1319,6 +1421,19 @@ class ShardedScanner:
                     return out
                 signs = ids  # already encoded: _placed_for reuses it
         st = self._stepped
+        if auto:
+            if (st is not None and st.packed is not None
+                    and self._mxu is None and len(signs)):
+                # Single-pass auto retrieval (VERDICT r4 #2): phase A is
+                # the count-speed scan leaving emit sharded on device;
+                # buffers then size from the PER-SHARD counters it
+                # already returned — no separate count() pass.
+                return self._auto_stepped_hits(signs, offset, head)
+            states = self.scan_states(signs, head=head)
+            ends, end_states, idx = decode_matches_arrays(
+                states, self.tables, offset)
+            return MatchSet(self.machine, self.tables, ends,
+                            end_states, idx)
         placed, T = self._placed_for(signs)
         if placed is None:
             return MatchSet(self.machine, self.tables,
@@ -1362,12 +1477,65 @@ class ShardedScanner:
             positions[order], sts[order], self.tables, offset)
         return MatchSet(self.machine, self.tables, ends, end_states, idx)
 
+    def _auto_stepped_hits(self, signs, offset, head):
+        """Single-pass auto-sized mesh retrieval (VERDICT r4 #2 + ADVICE
+        r4 medium): phase A scans once at count-engine speed, keeping the
+        per-shard emit arrays sharded on device; the host syncs only the
+        tiny per-shard counters and compiles phase B at the pow2 bucket
+        of the PER-SHARD live/hit maxima — per-device memory scales with
+        the densest shard, not n_dev x the global total."""
+        from ..models.results import MatchSet
+        from ..models.scanner import _guard_pos32
+        from ..ops.decode import expand_hits_arrays
+        st = self._stepped
+        placed, T = self._placed_for(signs)
+        if placed is None:
+            return MatchSet(self.machine, self.tables,
+                            np.zeros(0, np.int64), np.zeros(0, np.int32),
+                            np.zeros(0, np.int32))
+        _guard_pos32(T)
+        scan_fn = make_sharded_stepped_hits_scan(
+            self.mesh, st.V, st.k, st.Vk, st.count_bits,
+            self._halo_steps, self._n_streams_per_device, self.axis_name)
+        hd = self._head_arr(head, self._halo_sym)
+        emit, n_hits_db, n_live_d = scan_fn(self._st_packed, placed,
+                                            head=hd)
+        n_live = np.asarray(n_live_d).reshape(-1)          # [D]
+        max_live = int(n_live.max())
+        if max_live == 0:
+            return MatchSet(self.machine, self.tables,
+                            np.zeros(0, np.int64), np.zeros(0, np.int32),
+                            np.zeros(0, np.int32))
+        # Per-shard exact totals: [D, B] int32 per-stream counts, int64
+        # combine on host (two-level reduction, no 2^31 wrap).
+        n_hits_sh = (np.asarray(n_hits_db).reshape(self.n_dev, -1)
+                     .sum(axis=1, dtype=np.int64))
+        cap = max(8, 1 << (max_live - 1).bit_length())
+        max_sh = int(n_hits_sh.max())
+        out_size = min(cap * st.k,
+                       max(8, 1 << (max(max_sh, 1) - 1).bit_length()))
+        ext_fn = make_sharded_stepped_hits_extract(
+            self.mesh, st.V, st.k, st.count_bits, self._halo_steps,
+            cap, out_size, self._n_streams_per_device, self.axis_name)
+        positions, sts = ext_fn(self._dflat, self._nb_out, placed, emit,
+                                head=hd)
+        positions = np.asarray(positions).reshape(-1)
+        sts = np.asarray(sts).reshape(-1)
+        keep = (positions >= 0) & (positions < T)
+        positions, sts = positions[keep], sts[keep]
+        order = np.argsort(positions, kind="stable")
+        ends, end_states, idx = expand_hits_arrays(
+            positions[order], sts[order], self.tables, offset)
+        return MatchSet(self.machine, self.tables, ends, end_states, idx)
+
     def _elided_hits(self, arr, lut, T: int, live, n_live: int, offset,
-                     head, nB_real: int, max_hits_per_shard: int):
+                     head, nB_real: int, max_hits_per_shard):
         """Mesh bounded hits over host-elided windows: only the live
         windows upload, sharded along the window axis; positions are
         absolute via the sharded block-index array. The mesh sibling of
-        DenseScanner._elided_hits."""
+        DenseScanner._elided_hits. ``max_hits_per_shard=None`` = AUTO:
+        per-shard buffers size to (windows per shard) * L_blk — the
+        structural bound, so no overflow raise."""
         from ..models.results import MatchSet
         from ..models.scanner import _guard_pos32
         from ..ops.decode import expand_hits_arrays
@@ -1376,6 +1544,11 @@ class ShardedScanner:
         halo, L_blk = self.halo, 128
         tm, idx = elide_windows(arr, lut, T, live, n_live, head, halo,
                                 L_blk, nB_real, pad_cols_to=self.n_dev)
+        auto = max_hits_per_shard is None
+        if auto:
+            per_shard = idx.shape[0] // self.n_dev
+            max_hits_per_shard = max(
+                8, 1 << (per_shard * L_blk - 1).bit_length())
         placed_tm = jax.device_put(
             tm, NamedSharding(self.mesh, P(None, self.axis_name)))
         placed_idx = jax.device_put(idx.astype(np.int32), self._shard)
@@ -1384,7 +1557,7 @@ class ShardedScanner:
         positions, sts, n_hit_pos = fn(self._dflat, self._nb_out,
                                        placed_tm, placed_idx)
         n_hit_pos = np.asarray(n_hit_pos)
-        if int(n_hit_pos.max()) > max_hits_per_shard:
+        if not auto and int(n_hit_pos.max()) > max_hits_per_shard:
             raise ValueError(
                 f"a shard has {int(n_hit_pos.max())} matching positions, "
                 f"over max_hits_per_shard={max_hits_per_shard}")
@@ -1399,12 +1572,14 @@ class ShardedScanner:
         return MatchSet(self.machine, self.tables, ends, end_states,
                         idx_out)
 
-    def _sparse_hits(self, ids: np.ndarray, offset, head, max_hits: int):
+    def _sparse_hits(self, ids: np.ndarray, offset, head, max_hits):
         """Sharded filter-then-extract retrieval: the mesh sibling of
         DenseScanner._sparse_hits (host filter per shard, dense-table
         windows, bounded hit buffers all_gathered). Returns None when not
         profitable/applicable — caller falls through to the dense
-        sharded bounded-hits kernel."""
+        sharded bounded-hits kernel. ``max_hits=None`` = AUTO: per-shard
+        buffers size to cap * L_blk (cap covers the busiest shard's live
+        blocks), so overflow is structural and the raise is skipped."""
         from ..models.results import MatchSet
         from ..ops import sparse
         from ..ops.decode import expand_hits_arrays
@@ -1430,6 +1605,10 @@ class ShardedScanner:
         if self._prefilter == "auto" and total_live * 2 > nB_real:
             return None
         cap = max(8, 1 << (int(n_live.max()) - 1).bit_length())
+        auto = max_hits is None
+        if auto:
+            # Structural per-shard bound: every hit lies in a live block.
+            max_hits = cap * L_blk
         idx = np.full((self.n_dev, cap), nB_loc, np.int32)
         for d in range(self.n_dev):
             w = np.flatnonzero(live[d])
@@ -1443,7 +1622,7 @@ class ShardedScanner:
                                        placed_ids, placed_idx,
                                        head=self._head_arr(head, halo))
         n_hit_pos = np.asarray(n_hit_pos)
-        if int(n_hit_pos.max()) > max_hits:
+        if not auto and int(n_hit_pos.max()) > max_hits:
             raise ValueError(
                 f"a shard has {int(n_hit_pos.max())} matching positions, "
                 f"over max_hits_per_shard={max_hits}")
