@@ -1195,15 +1195,23 @@ class DenseScanner:
                             np.zeros(0, np.int32))
         t0 = time.perf_counter()
         raw = self._raw_stream(signs)
-        if self._prefilter != "off" and not _is_device_array(signs):
+        if self._prefilter != "off":
             # max_hits None = AUTO here too: _sparse_hits sizes its hit
             # buffers from the live-block count (a live block holds at
             # most L_blk hit positions — structural, no user parameter).
-            out = self._sparse_hits(
-                signs, offset, head,
-                None if max_hits is None else int(max_hits), raw=raw)
+            bound = None if max_hits is None else int(max_hits)
+            if _is_device_array(signs):
+                # Device-resident corpus (pinned in HBM): the block
+                # filter runs ON DEVICE and retrieval gathers only live
+                # windows — zero per-call corpus upload (VERDICT r4 #3).
+                out = self._sparse_hits_device(signs, offset, head, bound)
+            else:
+                out = self._sparse_hits(signs, offset, head, bound,
+                                        raw=raw)
             if out is not None:
-                self._record("find_matches_sparse", len(signs),
+                self._record("find_matches_sparse",
+                             int(signs.shape[0])
+                             if _is_device_array(signs) else len(signs),
                              time.perf_counter() - t0)
                 return out
         # max_hits None = AUTO (stepped path only): buffers sized from the
@@ -1501,6 +1509,74 @@ class DenseScanner:
                 "session")
         from ..ops.decode import expand_hits_arrays
         from .results import MatchSet
+        ends, end_states, idx_out = expand_hits_arrays(
+            positions, sts, self.tables, offset)
+        return MatchSet(self.machine, self.tables, ends, end_states,
+                        idx_out)
+
+    def _sparse_hits_device(self, ids, offset, head, max_hits):
+        """Filter-then-extract retrieval for DEVICE-RESIDENT corpora
+        (round 5, VERDICT r4 #3): the live-block filter runs on device
+        (ops/sparse.make_block_filter), one 4-byte sync picks the pow2
+        capacity, and the windowed hits kernel consumes the resident
+        order array — no host filter pass, no index upload, no corpus
+        re-upload. ``max_hits=None`` = AUTO via the structural
+        n_live * L_blk bound. Returns None when not applicable — caller
+        falls through to the dense device-input kernels."""
+        from ..ops import sparse
+        from ..ops.decode import expand_hits_arrays
+        from .results import MatchSet
+        if not jnp.issubdtype(ids.dtype, jnp.integer):
+            raise ValueError(
+                "device-array input must be integer letter ids "
+                f"(got dtype {ids.dtype})")
+        halo = self.halo
+        L_blk = 128
+        if halo > L_blk:
+            return None
+        T = int(ids.shape[0])
+        _guard_pos32(T)
+        nB_real = -(-T // L_blk)
+        nB = 1 << (nB_real - 1).bit_length()
+        n_ext = halo + (nB + 1) * L_blk
+        head_ids = np.zeros(halo, np.int32)
+        if head is not None and len(head) and halo:
+            h = min(len(head), halo)
+            head_ids[halo - h:] = head[-h:]
+        with self._dispatch:
+            ext = jnp.concatenate([
+                jnp.asarray(head_ids),
+                ids.astype(jnp.int32) if ids.dtype != jnp.int32 else ids,
+                jnp.zeros(n_ext - halo - T, jnp.int32)])
+            order, n_live_dev = sparse.make_block_filter(
+                nB, L_blk, halo)(ext)
+            n_live = int(n_live_dev)  # the one tiny host sync
+            self.stats["sparse_live_frac"] = n_live / max(nB_real, 1)
+            if n_live == 0:
+                return MatchSet(self.machine, self.tables,
+                                np.zeros(0, np.int64),
+                                np.zeros(0, np.int32),
+                                np.zeros(0, np.int32))
+            if self._prefilter == "auto" and n_live * 2 > nB_real:
+                return None
+            cap = min(nB, max(8, 1 << (n_live - 1).bit_length()))
+            auto = max_hits is None
+            if auto:
+                max_hits = max(8, 1 << (n_live * L_blk - 1).bit_length())
+            fn = sparse.make_sparse_hits_dev(self.V, halo, L_blk, nB,
+                                             cap, int(max_hits))
+            positions, sts, n_hits, n_hit_pos = fn(
+                self._dflat, self._nb_out, ext, order, n_live_dev)
+            n_hit_pos = int(n_hit_pos)
+            positions = np.asarray(positions)
+            sts = np.asarray(sts)
+        keep = (positions >= 0) & (positions < T)
+        positions, sts = positions[keep], sts[keep]
+        if not auto and n_hit_pos > max_hits:
+            raise ValueError(
+                f"{n_hit_pos} matching positions exceed max_hits="
+                f"{max_hits}; raise max_hits or chunk the stream with a "
+                "session")
         ends, end_states, idx_out = expand_hits_arrays(
             positions, sts, self.tables, offset)
         return MatchSet(self.machine, self.tables, ends, end_states,

@@ -348,6 +348,29 @@ def make_sparse_count_mxu_dev(V: int, S_pad: int, count_bits: int,
 
 
 @lru_cache(maxsize=None)
+def make_sparse_hits_dev(V: int, halo: int, L_blk: int, nB: int, cap: int,
+                         max_hits: int):
+    """Filter-then-EXTRACT with a DEVICE-resident index order (round 5,
+    VERDICT r4 #3): retrieval for corpora pinned in HBM — the block
+    filter (make_block_filter) ran on device, the caller synced only the
+    4-byte n_live to pick ``cap``/``max_hits`` pow2 buckets, and this
+    kernel gathers + scans only the live windows and returns bounded hit
+    positions/states with zero per-call corpus upload.
+    (dflat, nb_out, ext, order, n_live) -> same contract as
+    make_sparse_hits. Reference anchor: acm_get_match,
+    /root/reference/aho_corasick.c:450-482."""
+
+    @jax.jit
+    def hits(dflat, nb_out, ext, order, n_live):
+        idx = _dev_idx(order, n_live, nB, cap)
+        win = _window_gather(ext, idx, nB, L_blk, halo)
+        return _window_hits_core(V, halo, L_blk, max_hits, dflat, nb_out,
+                                 win, idx)
+
+    return hits
+
+
+@lru_cache(maxsize=None)
 def make_sparse_count_stepped(V: int, k: int, Vk: int, count_bits: int,
                               halo_steps: int, L_blk: int, nB: int,
                               cap: int):

@@ -656,6 +656,81 @@ def make_sharded_stepped_hits_extract(mesh: Mesh, V: int, k: int,
 
 
 @lru_cache(maxsize=None)
+def make_sharded_block_filter(mesh: Mesh, L_blk: int, halo: int,
+                              nB_loc: int, axis_name: str = DATA_AXIS):
+    """Phase A of DEVICE-RESIDENT mesh sparse scanning (round 5): each
+    shard runs the live-block filter on its own slice entirely on device
+    (the mesh sibling of ops/sparse.make_block_filter). The order arrays
+    stay sharded and device-resident; only the [D] live counts all_gather
+    back replicated (one 4-byte-per-shard sync to pick the pow2 cap).
+
+    Returns jitted filt(ids[, head]) ->
+      (order [D, nB_loc] sharded, n_live [D] replicated)."""
+    def local(ids_local):
+        body = ids_local.reshape(-1).reshape(nB_loc, L_blk)
+        live = body.max(axis=1) > 0
+        n_live = jnp.sum(live, dtype=jnp.int32)
+        order = jnp.argsort(jnp.logical_not(live),
+                            stable=True).astype(jnp.int32)
+        return order[None], lax.all_gather(n_live, axis_name)
+
+    inner = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis_name),),
+        out_specs=(P(axis_name), P()), check_vma=False))
+
+    # liveness is head-independent (the session head only seeds states)
+    return lambda ids: inner(ids)
+
+
+@lru_cache(maxsize=None)
+def make_sharded_sparse_hits_dev(mesh: Mesh, V: int, halo: int, L_blk: int,
+                                 nB_loc: int, cap: int, max_hits: int,
+                                 axis_name: str = DATA_AXIS):
+    """Phase B of device-resident mesh sparse retrieval (VERDICT r4 #3,
+    mesh side): each shard gathers only its live windows from its
+    RESIDENT corpus slice (halo via one ppermute) and extracts bounded
+    hit positions/states; buffers all_gather back replicated with
+    absolute stream positions. Zero per-call corpus upload.
+
+    Returns jitted hits(dflat, nb_out, ids, order, n_live_all[, head]) ->
+      (positions [D, max_hits], states [D, max_hits], n_hit_pos [D])."""
+    from ..ops.sparse import _dev_idx, _window_gather, _window_hits_core
+    n_dev = mesh.shape[axis_name]
+
+    def local_hits(dflat, nb_out, head, n_live_all, ids_local,
+                   order_local):
+        ids_local = ids_local.reshape(-1)
+        Tl = ids_local.shape[0]
+        left = _right_shift_halo(ids_local, halo, axis_name, n_dev, head)
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((L_blk,), ids_local.dtype)])
+        me = lax.axis_index(axis_name)
+        idx = _dev_idx(order_local.reshape(-1), n_live_all[me], nB_loc,
+                       cap)
+        win = _window_gather(ext, idx, nB_loc, L_blk, halo)
+        positions, sts, _n_hits, n_hit_pos = _window_hits_core(
+            V, halo, L_blk, max_hits, dflat, nb_out, win, idx)
+        shard_base = me * Tl
+        positions = jnp.where((positions >= 0) & (positions < Tl),
+                              positions + shard_base, -1)
+        return (lax.all_gather(positions, axis_name),
+                lax.all_gather(sts, axis_name),
+                lax.all_gather(n_hit_pos, axis_name))
+
+    inner = jax.jit(jax.shard_map(
+        local_hits, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P()), check_vma=False))
+
+    def fn(dflat, nb_out, ids, order, n_live_all, head=None):
+        if head is None:
+            head = np.zeros(halo, np.int32)
+        return inner(dflat, nb_out, head, n_live_all, ids, order)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
 def make_sharded_sparse_hits(mesh: Mesh, V: int, halo: int, L_blk: int,
                              nB_loc: int, cap: int,
                              max_hits_per_shard: int,
@@ -1384,6 +1459,14 @@ class ShardedScanner:
         auto = max_hits_per_shard is None
         from ..models.scanner import _is_device_array
         key = None if auto else int(max_hits_per_shard)
+        if self._prefilter != "off" and _is_device_array(signs) \
+                and int(signs.shape[0]):
+            # Device-resident mesh corpus with a prefilter (VERDICT r4
+            # #3): block filter on device per shard, windowed retrieval
+            # over live windows only — zero per-call corpus upload.
+            out = self._sparse_hits_device(signs, offset, head, key)
+            if out is not None:
+                return out
         if self._prefilter != "off" and not _is_device_array(signs) \
                 and len(signs):
             # Sparse retrieval is the DEFAULT on prefilter scanners
@@ -1569,6 +1652,73 @@ class ShardedScanner:
         self.stats["sparse_elided_upload_bytes"] = int(tm.nbytes)
         ends, end_states, idx_out = expand_hits_arrays(
             positions[order], sts[order], self.tables, offset)
+        return MatchSet(self.machine, self.tables, ends, end_states,
+                        idx_out)
+
+    def _sparse_hits_device(self, ids, offset, head, max_hits):
+        """Device-resident mesh sparse retrieval (round 5, VERDICT r4
+        #3): the corpus stays pinned across the mesh; each shard filters
+        and scans only its live windows on device. Returns None when not
+        applicable (halo wider than a block, shard length not a block
+        multiple, or the auto-density gate fires) — caller falls through
+        to the dense resident-corpus kernels. ``max_hits=None`` = AUTO
+        with the structural cap * L_blk per-shard bound (no raise)."""
+        from ..models.results import MatchSet
+        from ..models.scanner import _guard_pos32
+        from ..ops.decode import expand_hits_arrays
+        if not jnp.issubdtype(ids.dtype, jnp.integer):
+            raise ValueError(
+                "device-array input must be integer letter ids "
+                f"(got dtype {ids.dtype})")
+        halo, L_blk = self.halo, 128
+        if halo > L_blk:
+            return None
+        placed, T = self._placed_for(ids)
+        if placed is None:
+            return MatchSet(self.machine, self.tables,
+                            np.zeros(0, np.int64), np.zeros(0, np.int32),
+                            np.zeros(0, np.int32))
+        _guard_pos32(T)
+        Tl = int(placed.shape[0]) // self.n_dev
+        if Tl % L_blk:
+            return None
+        nB_loc = Tl // L_blk
+        filt = make_sharded_block_filter(self.mesh, L_blk, halo, nB_loc,
+                                         self.axis_name)
+        order, n_live_all = filt(placed)
+        n_live = np.asarray(n_live_all).reshape(-1)       # [D]
+        total_live = int(n_live.sum())
+        nB_real = -(-T // L_blk)
+        self.stats["sparse_live_frac"] = total_live / max(nB_real, 1)
+        if total_live == 0:
+            return MatchSet(self.machine, self.tables,
+                            np.zeros(0, np.int64), np.zeros(0, np.int32),
+                            np.zeros(0, np.int32))
+        if self._prefilter == "auto" and total_live * 2 > nB_real:
+            return None
+        cap = min(nB_loc,
+                  max(8, 1 << (int(n_live.max()) - 1).bit_length()))
+        auto = max_hits is None
+        if auto:
+            max_hits = cap * L_blk   # structural per-shard bound
+        fn = make_sharded_sparse_hits_dev(
+            self.mesh, self.V, halo, L_blk, nB_loc, cap, int(max_hits),
+            self.axis_name)
+        positions, sts, n_hit_pos = fn(
+            self._dflat, self._nb_out, placed, order, n_live_all,
+            head=self._head_arr(head, halo))
+        n_hit_pos = np.asarray(n_hit_pos)
+        if not auto and int(n_hit_pos.max()) > max_hits:
+            raise ValueError(
+                f"a shard has {int(n_hit_pos.max())} matching positions, "
+                f"over max_hits_per_shard={max_hits}")
+        positions = np.asarray(positions).reshape(-1)
+        sts = np.asarray(sts).reshape(-1)
+        keep = (positions >= 0) & (positions < T)
+        positions, sts = positions[keep], sts[keep]
+        order_p = np.argsort(positions, kind="stable")
+        ends, end_states, idx_out = expand_hits_arrays(
+            positions[order_p], sts[order_p], self.tables, offset)
         return MatchSet(self.machine, self.tables, ends, end_states,
                         idx_out)
 

@@ -104,3 +104,93 @@ def test_count_many_and_scan_states_unaffected():
     sc = m.scanner()
     ids = np.asarray(sc.encode("abcde " * 50), np.int32)
     assert sc.count(ids) == sc.count("abcde " * 50)
+
+
+# -- round 5: device-resident sparse RETRIEVAL (VERDICT r4 #3) -------------
+
+
+def _events(ms):
+    return [(int(e), int(s)) for e, s in zip(ms.ends, ms.starts)]
+
+
+def test_device_resident_sparse_find_matches_parity():
+    m = _machine(seed=20)
+    sc = m.scanner(n_streams=8, prefilter="on")
+    text = _sparse_text(21)
+    ids_dev = jnp.asarray(sc.encode(text))
+    expect = m.scanner(n_streams=8).find_matches(text)
+    got = sc.find_matches(ids_dev)                 # auto, device filter
+    assert sc.stats["last_op"] == "find_matches_sparse"
+    assert _events(got) == _events(expect)
+    # bounded path agrees and raises on a too-small bound
+    got_b = sc.find_matches(ids_dev, max_hits=1 << 14)
+    assert _events(got_b) == _events(expect)
+    if len(expect) > 4:
+        with pytest.raises(ValueError, match="max_hits"):
+            sc.find_matches(ids_dev, max_hits=2)
+
+
+def test_device_resident_sparse_find_matches_empty_and_auto_gate():
+    m = _machine(seed=22)
+    sc = m.scanner(n_streams=8, prefilter="on")
+    dead = jnp.asarray(sc.encode("XYZ " * 2000))
+    out = sc.find_matches(dead)
+    assert len(out) == 0 and hasattr(out, "ends")
+    # fully-live corpus under "auto" declines to the dense fast path
+    auto = m.scanner(n_streams=8, prefilter="auto")
+    import random as _r
+    rng = _r.Random(23)
+    live = "".join(rng.choice("abcde") for _ in range(4000))
+    ids_dev = jnp.asarray(auto.encode(live))
+    expect = m.scanner(n_streams=8).find_matches(live)
+    assert _events(auto.find_matches(ids_dev)) == _events(expect)
+
+
+def test_mesh_device_resident_sparse_find_matches_parity():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from aho_corasick_1975_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+
+    m = _machine(seed=24)
+    mesh = make_mesh()
+    sc = ShardedScanner(m, mesh, n_streams_per_device=4, prefilter="on")
+    text = _sparse_text(25)
+    # pad to a mesh x block multiple so every shard is block-aligned
+    unit = 8 * 128
+    ids = np.asarray(sc.encode(text), np.int32)
+    pad = -(-len(ids) // unit) * unit - len(ids)
+    ids = np.concatenate([ids, np.zeros(pad, np.int32)])
+    placed = jax.device_put(ids, NamedSharding(mesh, P(DATA_AXIS)))
+    expect = m.scanner(n_streams=8).find_matches(text)
+    got = sc.find_matches(placed)                  # auto per-shard sizing
+    assert sc.stats["sparse_live_frac"] < 0.5
+    assert _events(got) == _events(expect)
+    got_b = sc.find_matches(placed, max_hits_per_shard=1 << 14)
+    assert _events(got_b) == _events(expect)
+
+
+def test_mesh_device_resident_sparse_session_head():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from aho_corasick_1975_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+
+    m = _machine(seed=26)
+    mesh = make_mesh()
+    sc = ShardedScanner(m, mesh, n_streams_per_device=4, prefilter="on")
+    text = _sparse_text(27)
+    unit = 8 * 128
+    T = len(text) // (2 * unit) * unit  # both halves block-aligned
+    a_txt, b_txt = text[:T], text[T:2 * T]
+    ids_a = np.asarray(sc.encode(a_txt), np.int32)
+    ids_b = np.asarray(sc.encode(b_txt), np.int32)
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    expect = m.scanner(n_streams=8).find_matches(a_txt + b_txt)
+    got_a = sc.find_matches(jax.device_put(ids_a, sh))
+    h = max(sc.halo, sc._halo_sym)
+    got_b = sc.find_matches(jax.device_put(ids_b, sh), offset=T,
+                            head=ids_a[-h:] if h else None)
+    assert _events(got_a) + _events(got_b) == _events(expect)
