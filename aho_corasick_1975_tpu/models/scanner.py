@@ -648,8 +648,11 @@ class DenseScanner:
     # each one's halo comes from the raw input itself (host data), so no
     # device round-trip serializes them — the blocked-scan exactness
     # argument (ops/blocking.py) applied at chunk granularity.
+    # Chunk size measured round 5 (benchmarks/bench_e2e_variance.py,
+    # 64 MB corpus through the remote tunnel): 2M 24 MB/s, 4M 46, 8M 55,
+    # 16M 51 — 8M wins (per-chunk dispatch overhead vs overlap depth).
     _pipeline_min = 16 << 20
-    _pipeline_chunk = 4 << 20
+    _pipeline_chunk = 8 << 20
 
     def _count_raw_pipelined(self, raw, ent, head) -> Optional[int]:
         """Pipelined raw-path count for large host inputs. Returns None
