@@ -1078,16 +1078,30 @@ class DenseScanner:
         steadily-sized batches reuse one compiled kernel per bucket and a
         single long outlier costs only its own bucket's launch. Returns an
         int64 array of len(docs) counts.
+
+        Round 5 (VERDICT r4 #6): when every document rides the raw path
+        (bytes/str through one LUT), the batch stages RAW — 1 byte per
+        symbol on byte corpora (4x less wire) with the vocab encode
+        inside the kernel per column, the stream kernels' exact trick.
+        A pre-placed DEVICE-RESIDENT [L, B] id batch (jax.Array, one
+        document per column, OOV-0 padded) launches with no host staging
+        at all.
         """
-        encoded = [self.encode(d) for d in docs]
-        n = len(encoded)
+        if _is_device_array(docs):
+            return self._count_many_device(docs)
+        n = len(docs)
         if n == 0:
             return np.zeros(0, dtype=np.int64)
         t0 = time.perf_counter()
         k = (self._stepped.k
              if self._stepped is not None and self._mxu is None else 1)
         unit = 128 * k
-        lengths = np.asarray([len(e) for e in encoded], np.int64)
+        raws = self._raw_docs(docs)
+        if raws is not None:
+            docs_arrs, ent = raws
+        else:
+            docs_arrs, ent = [self.encode(d) for d in docs], None
+        lengths = np.asarray([len(e) for e in docs_arrs], np.int64)
         out = np.zeros(n, dtype=np.int64)
         # Length-bucketed launches: documents are grouped by the pow2
         # multiple of ``unit`` covering their length, so one long outlier
@@ -1098,9 +1112,58 @@ class DenseScanner:
             for L, idx in self._length_buckets(lengths, unit):
                 self._guard_acc(L)
                 counts = self._count_many_launch(
-                    [encoded[i] for i in idx], L)
+                    [docs_arrs[i] for i in idx], L, ent)
                 out[idx] = counts
-        self._record("count_many", int(lengths.sum()),
+        self._record("count_many" if ent is None else "count_many_raw",
+                     int(lengths.sum()), time.perf_counter() - t0)
+        return out
+
+    def _raw_docs(self, docs):
+        """Raw batch staging probe: every document must ride the SAME raw
+        LUT (one kind per launch) and the active engine must have a raw
+        batch kernel. Returns (list of raw arrays, lut entry) or None —
+        host-encode fallback. For str documents on a codepoint LUT the
+        wire width matches ids, but the host encode pass still leaves
+        the critical path."""
+        if not self._device_encode:
+            return None
+        st = self._stepped
+        if self._mxu is None and st is not None and st.packed is None:
+            return None  # unpacked two-table engine: no raw kernel
+        out, ent0 = [], None
+        for d in docs:
+            r = self._raw_stream(d)
+            if r is None:
+                return None
+            raw, ent = r
+            if ent0 is None:
+                ent0 = ent
+            elif ent is not ent0:
+                return None  # mixed byte/codepoint kinds in one batch
+            out.append(raw)
+        return (out, ent0) if out else None
+
+    def _count_many_device(self, tm) -> np.ndarray:
+        """Device-resident batch scoring (round 5): ``tm`` is a [L, B]
+        jax.Array of letter ids, one document per column starting at the
+        root, padded with the OOV id 0 (inert — reference modification
+        [3]). No host staging, no per-call upload; serving pins steady
+        batches once. Returns int64 counts [B]."""
+        if tm.ndim != 2:
+            raise ValueError(
+                f"device-resident batch must be [L, B] (got {tm.ndim}-D)")
+        if not jnp.issubdtype(tm.dtype, jnp.integer):
+            raise ValueError(
+                "device-resident batch must be integer letter ids "
+                f"(got dtype {tm.dtype})")
+        L, B = int(tm.shape[0]), int(tm.shape[1])
+        t0 = time.perf_counter()
+        if tm.dtype != jnp.int32:
+            tm = tm.astype(jnp.int32)
+        with self._dispatch:
+            self._guard_acc(L)
+            out = self._count_many_kernel(tm, L, B).astype(np.int64)
+        self._record("count_many_device", L * B,
                      time.perf_counter() - t0)
         return out
 
@@ -1114,31 +1177,70 @@ class DenseScanner:
         for L in np.unique(buckets)[::-1]:
             yield int(L), np.flatnonzero(buckets == L)
 
-    def _count_many_launch(self, encoded, L: int) -> np.ndarray:
-        """One count_many device launch: every doc fits in L symbols."""
+    def _split_for(self, L: int, n_cols: int, unit: int):
+        """Per-document block split (round 5): a batch's parallelism is
+        its column count, so a small batch of long documents left the
+        chip latency-bound (measured 35 vs ~250 MB/s stream rate).
+        Split each document into c blocks of Lp with intra-document halo
+        warm-up (ops/scan_xla.split_docs_layout) so the launch reaches
+        the stream path's width. Returns (c, Lp) with L <= c * Lp."""
+        target = self._streams_for(L * max(n_cols, 1))
+        c = min(-(-target // max(n_cols, 1)), max(L // unit, 1))
+        if c <= 1:
+            return 1, L
+        Lp = -(-(-(-L // c)) // unit) * unit
+        return -(-L // Lp), Lp
+
+    def _count_many_launch(self, encoded, L: int, ent=None) -> np.ndarray:
+        """One count_many device launch: every doc fits in L symbols.
+        ``ent`` non-None = RAW staging (docs are raw symbol arrays; the
+        LUT encodes per column inside the kernel — byte batches ship
+        1 byte/symbol)."""
         n = len(encoded)
         B = -(-n // 8) * 8
-        tm = np.zeros((L, B), dtype=np.int32)
+        tm = np.zeros((L, B),
+                      dtype=encoded[0].dtype if ent is not None
+                      else np.int32)
         for j, e in enumerate(encoded):
             tm[:len(e), j] = e
+        return self._count_many_kernel(jnp.asarray(tm), L, B,
+                                       ent)[:n].astype(np.int64)
+
+    def _count_many_kernel(self, tm, L: int, B: int, ent=None):
+        """Dispatch one [L, B] batch (host-staged or device-resident)
+        through the engine's count_many kernel with raw encode and
+        per-document splitting as applicable. Returns np per-doc counts
+        [B]."""
+        raw = ent is not None
+        st = self._stepped
         if self._mxu is not None:
             from ..ops import scan_mxu
             planes, cbits, n_planes, S_pad = self._mxu
-            fn = scan_mxu.make_mxu_count(self.V, S_pad, cbits, n_planes)
-            per_stream = fn(planes, jnp.asarray(tm))
-        elif self._stepped is not None:
+            c, Lp = self._split_for(L, B, 128)
+            fn = scan_mxu.make_mxu_count_many(
+                self.V, S_pad, cbits, n_planes, self.halo, c, Lp, raw)
+            per = (fn(planes, ent[0], tm) if raw else fn(planes, tm))
+        elif st is not None and st.packed is not None and L % st.k == 0:
             from ..ops import multistep as ms
-            st = self._stepped
-            if st.packed is not None:
-                fn = ms.make_stepped_count(st.V, st.k, st.Vk,
-                                           st.count_bits, 0)
-            else:
-                fn = ms.make_stepped_count_unpacked(st.V, st.k, st.Vk, 0)
-            per_stream = fn(*self._st_dev, jnp.asarray(tm))
+            c, Lp = self._split_for(L, B, 128 * st.k)
+            fn = ms.make_stepped_count_many(
+                st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
+                c, Lp, raw)
+            per = (fn(self._st_dev[0], ent[0], tm) if raw
+                   else fn(self._st_dev[0], tm))
+        elif st is not None and st.packed is None and not raw:
+            from ..ops import multistep as ms
+            fn = ms.make_stepped_count_unpacked(st.V, st.k, st.Vk, 0)
+            per = fn(*self._st_dev, tm)
         else:
-            fn = make_blocked_count(self.V, 0)
-            per_stream = fn(self._dflat, self._nb_out, jnp.asarray(tm))
-        return np.asarray(per_stream)[:n].astype(np.int64)
+            # dense-table core: also the exact fallback for resident
+            # batches whose L is not a k-multiple
+            from ..ops.scan_xla import make_blocked_count_many
+            c, Lp = self._split_for(L, B, 128)
+            fn = make_blocked_count_many(self.V, self.halo, c, Lp, raw)
+            per = (fn(self._dflat, self._nb_out, ent[0], tm) if raw
+                   else fn(self._dflat, self._nb_out, tm))
+        return np.asarray(per)
 
     def _layout_stepped(self, ids: np.ndarray, head=None) -> np.ndarray:
         """Block layout for the k-stepped path: halo and block length both

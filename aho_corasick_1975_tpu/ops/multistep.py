@@ -317,6 +317,51 @@ def make_stepped_count_raw(V: int, k: int, Vk: int, count_bits: int,
     return count
 
 
+def _stepped_count_many_body(V, k, Vk, count_bits, halo_steps, c, Lp,
+                             packed, w):
+    """Shared batched-count trace: optional per-document split (Lp and
+    the halo are k-multiples so gram boundaries align) and the combine
+    back to per-document totals [B]."""
+    from .scan_xla import split_docs_layout
+    if c > 1:
+        B = w.shape[1]
+        w = split_docs_layout(w, c, Lp, halo_steps * k)
+        per = stepped_count_core(V, k, Vk, count_bits, halo_steps,
+                                 packed, w)
+        return per.reshape(c, B).sum(axis=0)
+    return stepped_count_core(V, k, Vk, count_bits, 0, packed, w)
+
+
+@lru_cache(maxsize=None)
+def make_stepped_count_many(V: int, k: int, Vk: int, count_bits: int,
+                            halo_steps: int, c: int, Lp: int,
+                            raw: bool = False):
+    """Batched per-document count through the packed k-gram table
+    (round 5, VERDICT r4 #6): tm [L, B] symbols, one document per column
+    starting at the root, tail-padded with 0 (raw 0 == OOV by the
+    raw_lut_entry contract). ``raw``: the vocab encode rides inside the
+    jit per column — byte batches ship 1 byte/symbol, 4x less wire.
+    ``c > 1``: split every document into c blocks of Lp symbols with
+    halo warm-up (split_docs_layout) — the sequential chain shrinks c x,
+    so small batches of long documents reach stream-kernel parallelism.
+    L % k == 0. Reference anchor: one-cursor-per-stream scoring,
+    c:433-448."""
+
+    if raw:
+        @jax.jit
+        def count(packed, lut, tm):
+            return _stepped_count_many_body(
+                V, k, Vk, count_bits, halo_steps, c, Lp, packed,
+                lut[tm.astype(jnp.int32)])
+    else:
+        @jax.jit
+        def count(packed, tm):
+            return _stepped_count_many_body(
+                V, k, Vk, count_bits, halo_steps, c, Lp, packed, tm)
+
+    return count
+
+
 @lru_cache(maxsize=None)
 def make_stepped_count_unpacked_stream(V: int, k: int, Vk: int,
                                        halo_steps: int, B: int, L: int):

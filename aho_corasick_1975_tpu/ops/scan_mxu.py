@@ -152,6 +152,41 @@ def make_mxu_count(V: int, S_pad: int, count_bits: int, n_planes: int):
     return count
 
 
+def _mxu_count_many_body(V, S_pad, count_bits, n_planes, halo, c, Lp,
+                         planes, w):
+    from .scan_xla import split_docs_layout
+    if c > 1:
+        B = w.shape[1]
+        w = split_docs_layout(w, c, Lp, halo)
+        per = mxu_count_core(V, S_pad, count_bits, n_planes, halo,
+                             planes, w)
+        return per.reshape(c, B).sum(axis=0)
+    return mxu_count_core(V, S_pad, count_bits, n_planes, 0, planes, w)
+
+
+@lru_cache(maxsize=None)
+def make_mxu_count_many(V: int, S_pad: int, count_bits: int,
+                        n_planes: int, halo: int, c: int, Lp: int,
+                        raw: bool = False):
+    """Batched count through the MXU engine (round 5): optional in-kernel
+    LUT encode (``raw``) and per-document block splitting (``c > 1``,
+    split_docs_layout) — see make_stepped_count_many."""
+
+    if raw:
+        @jax.jit
+        def count(planes, lut, tm):
+            return _mxu_count_many_body(V, S_pad, count_bits, n_planes,
+                                        halo, c, Lp, planes,
+                                        lut[tm.astype(jnp.int32)])
+    else:
+        @jax.jit
+        def count(planes, tm):
+            return _mxu_count_many_body(V, S_pad, count_bits, n_planes,
+                                        halo, c, Lp, planes, tm)
+
+    return count
+
+
 @lru_cache(maxsize=None)
 def make_mxu_count_halo(V: int, S_pad: int, count_bits: int, n_planes: int,
                         halo: int):

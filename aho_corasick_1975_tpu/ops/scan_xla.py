@@ -226,3 +226,54 @@ def make_blocked_count(V: int, halo: int):
         return blocked_count_core(V, halo, dflat, nb_out, ids_tm)
 
     return count  # returns per-stream totals; sum on host in int64
+
+
+def split_docs_layout(tm, c: int, Lp: int, halo: int):
+    """Per-document block splitting for batch scoring (round 5): [L, B]
+    one-document-per-column -> [halo + Lp, c*B] where block i of doc j
+    warms up from doc j's OWN preceding ``halo`` symbols (zeros before
+    the doc head) — documents stay isolated, and the batch gains c x the
+    sequential parallelism (the ops/blocking.py argument applied per
+    column). Requires L <= c * Lp (rows past L read as OOV pad).
+    Output column i*B + j = block i of doc j; callers sum groups of B."""
+    L, B = tm.shape
+    pad_rows = c * Lp - L
+    padded = jnp.concatenate(
+        [jnp.zeros((halo, B), tm.dtype), tm,
+         jnp.zeros((pad_rows, B), tm.dtype)])     # [halo + c*Lp, B]
+    blocks = [padded[i * Lp:i * Lp + halo + Lp, :] for i in range(c)]
+    return jnp.concatenate(blocks, axis=1)        # [halo+Lp, c*B]
+
+
+def _count_many_body(V, halo, c, Lp, dflat, nb_out, w):
+    """Shared count_many trace: optional split, dense-table count, and
+    the per-document combine back to [B]."""
+    if c > 1:
+        B = w.shape[1]
+        w = split_docs_layout(w, c, Lp, halo)
+        per = blocked_count_core(V, halo, dflat, nb_out, w)
+        return per.reshape(c, B).sum(axis=0)
+    return blocked_count_core(V, 0, dflat, nb_out, w)
+
+
+@lru_cache(maxsize=None)
+def make_blocked_count_many(V: int, halo: int, c: int, Lp: int,
+                            raw: bool = False):
+    """Batched per-document count through the dense table (round 5):
+    tm [L, B] symbols, one document per column (root start, 0-padding
+    inert — for raw inputs by the raw_lut_entry contract). ``raw``:
+    encode through the replicated LUT inside the jit (1 byte/symbol on
+    the wire for byte batches). ``c > 1``: split every document into c
+    blocks of Lp via split_docs_layout — sequential chain shrinks c x."""
+
+    if raw:
+        @jax.jit
+        def count(dflat, nb_out, lut, tm):
+            return _count_many_body(V, halo, c, Lp, dflat, nb_out,
+                                    lut[tm.astype(jnp.int32)])
+    else:
+        @jax.jit
+        def count(dflat, nb_out, tm):
+            return _count_many_body(V, halo, c, Lp, dflat, nb_out, tm)
+
+    return count

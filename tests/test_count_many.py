@@ -81,3 +81,159 @@ def test_count_many_matches_single_stream_count():
     sc = m.scanner(n_streams=4)
     got = sc.count_many(docs)
     assert int(got.sum()) == sum(sc.count(d) for d in docs)
+
+
+# -- round 5: raw batch staging + device-resident batches (VERDICT r4 #6) --
+
+
+def test_count_many_raw_byte_batch_parity():
+    """Byte documents stage RAW (1 byte/symbol, in-kernel LUT encode) and
+    agree with the host oracle, ragged lengths included."""
+    rng = random.Random(5)
+    m = ac.ByteMachine()
+    for _ in range(30):
+        m.insert_keyword(bytes(rng.choice(b"abcd")
+                               for _ in range(rng.randint(1, 5))))
+    docs = [bytes(rng.choice(b"abcdz") for _ in range(rng.randint(0, 900)))
+            for _ in range(17)]
+    docs[2] = b""
+    sc = m.scanner(n_streams=4)
+    got = sc.count_many(docs)
+    np.testing.assert_array_equal(got, oracle_counts(m, docs))
+    assert sc.stats["last_op"] == "count_many_raw"
+
+
+def test_count_many_raw_utf8_str_batch_on_byte_machine():
+    m = ac.ByteMachine()
+    m.insert_keyword("héllo")
+    m.insert_keyword("wörld")
+    docs = ["say héllo", "wörld wörld!", "", "plain ascii", "héllowörld"]
+    sc = m.scanner(n_streams=4)
+    got = sc.count_many(docs)
+    want = np.asarray([1, 2, 0, 0, 2], np.int64)
+    np.testing.assert_array_equal(got, want)
+    assert sc.stats["last_op"] == "count_many_raw"
+
+
+def test_count_many_mixed_kind_batch_falls_back_to_host_encode():
+    m, rng = build_machine(seed=6)
+    docs = ["abcd", b"abcd" if False else "abcd"]  # str-only is raw
+    sc = m.scanner(n_streams=4)
+    sc.count_many(docs)
+    assert sc.stats["last_op"] in ("count_many", "count_many_raw")
+    # a non-raw-able doc (tuple of ints) forces the host-encode path
+    m2 = ac.Machine()
+    m2.insert_keyword((1, 2))
+    sc2 = m2.scanner(n_streams=4)
+    got = sc2.count_many([(1, 2, 1, 2), (9, 9), ()])
+    np.testing.assert_array_equal(got, np.asarray([2, 0, 0], np.int64))
+    assert sc2.stats["last_op"] == "count_many"
+
+
+@pytest.mark.parametrize("step_k", [1, 2])
+def test_count_many_device_resident_batch(step_k):
+    import jax.numpy as jnp
+
+    m, rng = build_machine(seed=7)
+    docs = ["".join(rng.choice("abcdz") for _ in range(rng.randint(1, 300)))
+            for _ in range(11)]
+    sc = m.scanner(n_streams=4, step_k=step_k)
+    want = oracle_counts(m, docs)
+    L = 512  # multiple of any step_k used here
+    tm = np.zeros((L, len(docs)), np.int32)
+    for j, d in enumerate(docs):
+        ids = sc.encode(d)
+        tm[:len(ids), j] = ids
+    got = sc.count_many(jnp.asarray(tm))
+    np.testing.assert_array_equal(got, want)
+    assert sc.stats["last_op"] == "count_many_device"
+    # misaligned L still exact through the dense-table fallback
+    tm2 = np.zeros((L + 1, len(docs)), np.int32)
+    for j, d in enumerate(docs):
+        ids = sc.encode(d)
+        tm2[:len(ids), j] = ids
+    np.testing.assert_array_equal(sc.count_many(jnp.asarray(tm2)), want)
+    with pytest.raises(ValueError, match="integer"):
+        sc.count_many(jnp.zeros((8, 8), jnp.float32))
+    with pytest.raises(ValueError, match=r"\[L, B\]"):
+        sc.count_many(jnp.zeros(8, jnp.int32))
+
+
+def test_count_many_mesh_raw_and_device_batch():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from aho_corasick_1975_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+
+    rng = random.Random(8)
+    m = ac.ByteMachine()
+    for _ in range(25):
+        m.insert_keyword(bytes(rng.choice(b"abc")
+                               for _ in range(rng.randint(1, 4))))
+    docs = [bytes(rng.choice(b"abcz") for _ in range(rng.randint(0, 600)))
+            for _ in range(19)]
+    mesh = make_mesh()
+    sc = ShardedScanner(m, mesh, n_streams_per_device=4)
+    want = oracle_counts(m, docs)
+    np.testing.assert_array_equal(sc.count_many(docs), want)  # raw staging
+    # pre-placed device batch, B a mesh multiple
+    L, B = 768, 24
+    tm = np.zeros((L, B), np.int32)
+    for j, d in enumerate(docs):
+        ids = sc.encode(d)
+        tm[:len(ids), j] = ids
+    placed = jax.device_put(
+        tm, NamedSharding(mesh, P(None, DATA_AXIS)))
+    got = sc.count_many(placed)
+    np.testing.assert_array_equal(got[:len(docs)], want)
+    np.testing.assert_array_equal(got[len(docs):], 0)
+    with pytest.raises(ValueError, match="divisible"):
+        sc.count_many(jnp.zeros((L, 23), jnp.int32))
+
+
+@pytest.mark.parametrize("step_k", [1, 2, 3])
+def test_count_many_document_splitting_parity(step_k):
+    """c > 1 block splitting (round 5): few LONG documents with a wide
+    scanner must split into halo-warmed blocks and stay exact, including
+    keywords straddling every internal block edge."""
+    m, rng = build_machine(seed=11, alphabet="ab")
+    docs = ["".join(rng.choice("abz") for _ in range(9000 + i * 1000))
+            for i in range(3)]
+    sc = m.scanner(n_streams=512, step_k=step_k)
+    c, Lp = sc._split_for(16 * 128 * max(step_k, 1), 8, 128 * max(step_k, 1))
+    assert c > 1  # the split actually engages at this geometry
+    np.testing.assert_array_equal(sc.count_many(docs), oracle_counts(m, docs))
+
+
+def test_count_many_split_straddles_block_edges():
+    """Plant one keyword across every Lp boundary explicitly."""
+    m = ac.Machine()
+    m.insert_keyword("abcabc")
+    sc = m.scanner(n_streams=1024, step_k=1)
+    L_doc = 6000
+    doc = ["z"] * L_doc
+    # place keywords at every multiple of 128 minus 3 (straddles any
+    # 128-multiple block boundary the splitter can pick)
+    ends = 0
+    for p in range(125, L_doc - 6, 128):
+        doc[p:p + 6] = "abcabc"
+        ends += 1
+    docs = [("".join(doc)), "abcabc", ""]
+    got = sc.count_many(docs)
+    np.testing.assert_array_equal(got, [ends, 1, 0])
+
+
+def test_count_many_mesh_document_splitting_parity():
+    from aho_corasick_1975_tpu.parallel.mesh import make_mesh
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+
+    m, rng = build_machine(seed=12)
+    docs = ["".join(rng.choice("abcdz") for _ in range(7000))
+            for _ in range(5)]
+    sc = ShardedScanner(m, make_mesh(), n_streams_per_device=256)
+    c, _ = sc._split_for(8192, 1, 128)
+    assert c > 1
+    np.testing.assert_array_equal(sc.count_many(docs),
+                                  oracle_counts(m, docs))
