@@ -200,6 +200,12 @@ class DenseScanner:
             raise ValueError(f"unknown engine {engine!r}")
         if prefilter not in ("off", "auto", "on"):
             raise ValueError(f"unknown prefilter {prefilter!r}")
+        # Persistent XLA compile cache (round 5): the next process of a
+        # serving fleet reads this geometry's executables from disk
+        # instead of paying the 20-40 s first compile again. Opt-out via
+        # ACX_COMPILE_CACHE=off (utils/compile_cache.py).
+        from ..utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
         self._engine = engine
         self._prefilter = prefilter
         self.machine = machine

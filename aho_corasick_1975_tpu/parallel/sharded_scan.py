@@ -842,6 +842,10 @@ class ShardedScanner:
             raise ValueError(f"unknown engine {engine!r}")
         if prefilter not in ("off", "auto", "on"):
             raise ValueError(f"unknown prefilter {prefilter!r}")
+        # Persistent XLA compile cache (round 5; utils/compile_cache.py,
+        # opt-out ACX_COMPILE_CACHE=off).
+        from ..utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
         self._engine = engine
         self._prefilter = prefilter
         self.machine = machine

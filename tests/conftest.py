@@ -14,6 +14,10 @@ import os
 # production processes, live only under this opt-in (ADVICE r4).
 os.environ.setdefault("ACX_TESTING", "1")
 
+# Keep the suite hermetic: no persistent XLA cache writes from tests
+# (utils/compile_cache.py; the cache's own test monkeypatches this).
+os.environ.setdefault("ACX_COMPILE_CACHE", "off")
+
 if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")
