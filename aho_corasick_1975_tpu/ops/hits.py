@@ -300,34 +300,38 @@ def _hits_extract_dense(V: int, k: int, count_bits: int, cb1: int,
     compacting live grams first. pk1 is the packed k=1 table
     ((next_state << cb1) | nb) — ONE gather per position instead of
     dflat + nb_out; syms: [L, B] body symbols. A single cumsum +
-    value-scatter compaction then lands the hits in stream order. All
-    costs are input-size-bound (no cap), so this variant's time is flat
-    in density — measured 1.87 s vs 3.38 s for the compact path at the
-    headline config's 29%-live-gram density (v5e), while the compact
-    path stays far cheaper at low density (cost ∝ live grams)."""
+    iota-scatter compaction lands hit positions in stream order; the
+    STATES then come from an output-sized gather back into the flat
+    stream (round 5: replacing the second full-size value scatter —
+    measured 1.62 -> 1.46 s at the headline density; the iota scatter
+    itself floors at the chip's ~120M elem/s scatter wall and no
+    formulation measured beats it: in-bounds pad equal, one 2-column
+    scatter 6x worse, split kernels equal — BENCHMARKS.md round-5
+    retrieval accounting). All costs are input-size-bound (no cap), so
+    this variant's time is flat in density, while the compact path
+    stays far cheaper at low density (cost ∝ live grams)."""
     m1 = (1 << cb1) - 1
     body = emit[halo_steps:]                         # [Lkb, B]
     Lkb, B = body.shape
     s = body >> count_bits                           # pre-gram states
-    cnt_parts, st_parts = [], []
+    parts = []
     for j in range(k):
         v = pk1[s * V + syms[j::k]]
         s = v >> cb1
-        cnt_parts.append(v & m1)
-        st_parts.append(s)
-    cnts = jnp.stack(cnt_parts, axis=1).reshape(Lkb * k, B)
-    stts = jnp.stack(st_parts, axis=1).reshape(Lkb * k, B)
-    flat_cnt = cnts.T.reshape(-1)                    # stream order
-    flat_st = stts.T.reshape(-1)
-    hit = flat_cnt > 0
+        # (state << 1) | hit: state_bits + 1 <= 31 because the pk1
+        # packing already required state_bits + cb1 <= 31 with cb1 >= 1
+        parts.append((s << 1) | ((v & m1) > 0).astype(jnp.int32))
+    packed = jnp.stack(parts, axis=1).reshape(Lkb * k, B)
+    flat = packed.T.reshape(-1)                      # stream order
+    hit = (flat & 1) > 0
     n_hit_pos = jnp.sum(hit, dtype=jnp.int32)
     pos = jnp.cumsum(hit.astype(jnp.int32)) - 1
     tgt = jnp.where(hit, pos, max_hits)              # overflow -> dropped
-    iota = jnp.arange(flat_cnt.shape[0], dtype=jnp.int32)
+    iota = jnp.arange(flat.shape[0], dtype=jnp.int32)
     positions = jnp.full((max_hits,), -1,
                          jnp.int32).at[tgt].set(iota, mode="drop")
-    states = jnp.zeros((max_hits,),
-                       jnp.int32).at[tgt].set(flat_st, mode="drop")
+    states = jnp.where(positions >= 0,
+                       flat[jnp.maximum(positions, 0)] >> 1, 0)
     return positions, states, n_hit_pos
 
 

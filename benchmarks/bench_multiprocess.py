@@ -117,6 +117,21 @@ def worker(proc_id: int, nproc: int, port: str) -> None:
     sc.count(corpus)
     t_e2e = time.perf_counter() - t0
 
+    # Retrieval legs (round 5, VERDICT r4 #9): the full MatchSet, not
+    # just the count — (a) device-resident auto find_matches (the
+    # single-pass per-shard-sized path), (b) raw host bytes in.
+    ms_dev = sc.find_matches(placed)          # warm-up (compile)
+    t_fm_dev = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        ms_dev = sc.find_matches(placed)
+        t_fm_dev = min(t_fm_dev, time.perf_counter() - t0)
+    assert len(ms_dev) == total, (len(ms_dev), total)
+    t0 = time.perf_counter()
+    ms_raw = sc.find_matches(corpus)
+    t_fm_raw = time.perf_counter() - t0
+    assert len(ms_raw) == total
+
     # +1k Meyer online insertions (per-edge incremental maintenance), then
     # the in-place snapshot refresh and a re-count on the same corpus.
     more = rng.integers(1, 27, (N_ONLINE, KW_LEN)).astype(np.int32)
@@ -145,6 +160,8 @@ def worker(proc_id: int, nproc: int, port: str) -> None:
         "scan_seconds": round(t_scan, 3),
         "scan_after_seconds": round(t_scan_after, 3),
         "e2e_from_host_bytes_seconds": round(t_e2e, 3),
+        "find_matches_device_seconds": round(t_fm_dev, 3),
+        "find_matches_raw_seconds": round(t_fm_raw, 3),
         "placement_seconds": round(place_s, 3),
         "online_insert_seconds": round(online_s, 3),
         "refresh_seconds": round(refresh_s, 3),
@@ -206,6 +223,17 @@ def main() -> None:
         "one_process_e2e_seconds": base["e2e_from_host_bytes_seconds"],
         "two_process_e2e_seconds": max(
             r["e2e_from_host_bytes_seconds"] for r in two),
+        "one_process_find_matches_device_seconds": base[
+            "find_matches_device_seconds"],
+        "two_process_find_matches_device_seconds": max(
+            r["find_matches_device_seconds"] for r in two),
+        "retrieval_scaling_efficiency_1_to_2": round(
+            base["find_matches_device_seconds"]
+            / (2 * max(r["find_matches_device_seconds"] for r in two)), 3),
+        "one_process_find_matches_raw_seconds": base[
+            "find_matches_raw_seconds"],
+        "two_process_find_matches_raw_seconds": max(
+            r["find_matches_raw_seconds"] for r in two),
         "placement_seconds": two[0]["placement_seconds"],
         "online_insert_seconds": two[0]["online_insert_seconds"],
         "refresh_seconds": two[0]["refresh_seconds"],
