@@ -814,6 +814,12 @@ def make_sharded_sparse_hits(mesh: Mesh, V: int, halo: int, L_blk: int,
     return fn
 
 
+# Auto retrieval falls back to the full per-position decode only when the
+# replicated hit buffers would BOTH exceed the decode's own footprint and
+# this absolute floor (toy inputs stay on the fast path either way).
+_AUTO_DECODE_FLOOR_BYTES = 64 << 20
+
+
 class ShardedScanner:
     """Mesh-wide scanner over a machine snapshot: the multi-chip sibling of
     models.scanner.DenseScanner."""
@@ -1651,6 +1657,21 @@ class ShardedScanner:
         max_sh = int(n_hits_sh.max())
         out_size = min(cap * st.k,
                        max(8, 1 << (max(max_sh, 1) - 1).bit_length()))
+        if (self.n_dev * out_size * 8 > T * 4
+                and self.n_dev * out_size * 8 > _AUTO_DECODE_FLOOR_BYTES):
+            # Extreme match density AT SCALE: the replicated per-shard
+            # hit buffers (n_dev x out_size x 8 bytes per device) would
+            # exceed the full per-position decode's states array — fall
+            # back to the decode, which is leaner there (ADVICE r4:
+            # never let the auto path cost more memory than what it
+            # replaces). The 64 MB floor keeps toy inputs on the fast
+            # path, where both footprints are trivial.
+            from ..ops.decode import decode_matches_arrays
+            states = self.scan_states(signs, head=head)
+            ends, end_states, idx = decode_matches_arrays(
+                states, self.tables, offset)
+            return MatchSet(self.machine, self.tables, ends,
+                            end_states, idx)
         ext_fn = make_sharded_stepped_hits_extract(
             self.mesh, st.V, st.k, st.count_bits, self._halo_steps,
             cap, out_size, self._n_streams_per_device, self.axis_name)

@@ -137,8 +137,9 @@ def test_mesh_auto_sizes_per_shard_not_global(monkeypatch):
     from aho_corasick_1975_tpu.parallel import sharded_scan as ss
 
     m = _machine()
-    # dense everywhere: every shard carries ~total/n_dev matches
-    text = "hers " * 20_000
+    # moderately dense everywhere: every shard carries ~total/n_dev
+    # matches, below the extreme-density decode fallback threshold
+    text = ("hers" + "." * 16) * 5_000
     sc = ShardedScanner(m, make_mesh())
     total = sc.count(text)
     seen = {}
@@ -153,3 +154,31 @@ def test_mesh_auto_sizes_per_shard_not_global(monkeypatch):
     ms = sc.find_matches(text)
     assert len(ms) == total
     assert seen["out_size"] < total  # per-shard bucket, not pow2(total)
+
+
+def test_mesh_auto_extreme_density_falls_back_lean(monkeypatch):
+    """Every position matches: past the footprint floor the auto path
+    must route to the full decode instead of allocating replicated hit
+    buffers larger than what it replaces (ADVICE r4) — exactly once the
+    floor is crossed, and exact either way."""
+    from aho_corasick_1975_tpu.parallel import sharded_scan as ss
+
+    m = ac.Machine()
+    m.insert_keyword("a")
+    sc = ShardedScanner(m, make_mesh())
+    text = "a" * 4096
+    # below the floor: fast path, exact
+    ms = sc.find_matches(text)
+    assert len(ms) == 4096 and list(ms.ends[:3]) == [0, 1, 2]
+    # shrink the floor so this density now counts as "at scale"
+    monkeypatch.setattr(ss, "_AUTO_DECODE_FLOOR_BYTES", 1024)
+    called = {}
+    orig = sc.scan_states
+
+    def spy(*a, **kw):
+        called["decode"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sc, "scan_states", spy)
+    ms2 = sc.find_matches(text)
+    assert called.get("decode") and len(ms2) == 4096
