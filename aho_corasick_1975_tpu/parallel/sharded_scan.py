@@ -708,6 +708,43 @@ def make_sharded_block_filter(mesh: Mesh, L_blk: int, halo: int,
 
 
 @lru_cache(maxsize=None)
+def make_sharded_sparse_count_dev(mesh: Mesh, V: int, halo: int,
+                                  L_blk: int, nB_loc: int, cap: int,
+                                  axis_name: str = DATA_AXIS):
+    """Device-resident mesh sparse COUNT (round 5): the counting sibling
+    of make_sharded_sparse_hits_dev — each shard gathers only its live
+    windows from its resident slice and counts them (dense-table core;
+    per-window totals all_gather back [D, cap], host combines int64)."""
+    from ..ops.sparse import _dev_idx, _window_gather
+    n_dev = mesh.shape[axis_name]
+
+    def local_count(dflat, nb_out, head, n_live_all, ids_local,
+                    order_local):
+        ids_local = ids_local.reshape(-1)
+        left = _right_shift_halo(ids_local, halo, axis_name, n_dev, head)
+        ext = jnp.concatenate(
+            [left, ids_local, jnp.zeros((L_blk,), ids_local.dtype)])
+        me = lax.axis_index(axis_name)
+        idx = _dev_idx(order_local.reshape(-1), n_live_all[me], nB_loc,
+                       cap)
+        win = _window_gather(ext, idx, nB_loc, L_blk, halo)
+        per = blocked_count_core(V, halo, dflat, nb_out, win)
+        return lax.all_gather(per, axis_name)
+
+    inner = jax.jit(jax.shard_map(
+        local_count, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis_name), P(axis_name)),
+        out_specs=P(), check_vma=False))
+
+    def fn(dflat, nb_out, ids, order, n_live_all, head=None):
+        if head is None:
+            head = np.zeros(halo, np.int32)
+        return inner(dflat, nb_out, head, n_live_all, ids, order)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
 def make_sharded_sparse_hits_dev(mesh: Mesh, V: int, halo: int, L_blk: int,
                                  nB_loc: int, cap: int, max_hits: int,
                                  axis_name: str = DATA_AXIS):
@@ -1188,10 +1225,49 @@ class ShardedScanner:
         return self._count_placed(placed, head)
 
     def _count_device(self, ids, head) -> int:
-        placed, _ = self._placed_for(ids)
+        placed, T = self._placed_for(ids)
         if placed is None:
             return 0
+        if self._prefilter != "off":
+            # Device-resident mesh sparse count (round 5): block filter
+            # + windowed count per shard, zero per-call corpus upload —
+            # the mesh sibling of DenseScanner._sparse_count_device.
+            n = self._sparse_count_device(placed, T, head)
+            if n is not None:
+                return n
         return self._count_placed(placed, head)
+
+    def _sparse_count_device(self, placed, T: int, head):
+        """Filter-then-verify count over a resident mesh corpus (dense-
+        table windowed core). Returns None when not applicable (halo
+        wider than a block, misaligned shards, or the auto-density gate
+        declines) — caller takes the dense resident kernels."""
+        halo, L_blk = self.halo, 128
+        if halo > L_blk:
+            return None
+        Tl = int(placed.shape[0]) // self.n_dev
+        if Tl % L_blk:
+            return None
+        nB_loc = Tl // L_blk
+        filt = make_sharded_block_filter(self.mesh, L_blk, halo, nB_loc,
+                                         self.axis_name)
+        order, n_live_all = filt(placed)
+        n_live = np.asarray(n_live_all).reshape(-1)
+        total_live = int(n_live.sum())
+        nB_real = -(-T // L_blk)
+        self.stats["sparse_live_frac"] = total_live / max(nB_real, 1)
+        if total_live == 0:
+            return 0
+        if self._prefilter == "auto" and total_live * 2 > nB_real:
+            return None
+        cap = min(nB_loc,
+                  max(8, 1 << (int(n_live.max()) - 1).bit_length()))
+        fn = make_sharded_sparse_count_dev(self.mesh, self.V, halo,
+                                           L_blk, nB_loc, cap,
+                                           self.axis_name)
+        per = fn(self._dflat, self._nb_out, placed, order, n_live_all,
+                 head=self._head_arr(head, halo))
+        return int(np.asarray(per).sum(dtype=np.int64))
 
     def _count_placed(self, placed, head) -> int:
         self._guard_acc(placed.shape[0])

@@ -194,3 +194,32 @@ def test_mesh_device_resident_sparse_session_head():
     got_b = sc.find_matches(jax.device_put(ids_b, sh), offset=T,
                             head=ids_a[-h:] if h else None)
     assert _events(got_a) + _events(got_b) == _events(expect)
+
+
+def test_mesh_device_resident_sparse_count_parity():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from aho_corasick_1975_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from aho_corasick_1975_tpu.parallel.sharded_scan import ShardedScanner
+
+    m = _machine(seed=30)
+    mesh = make_mesh()
+    sc = ShardedScanner(m, mesh, n_streams_per_device=4, prefilter="on")
+    text = _sparse_text(31)
+    unit = 8 * 128
+    ids = np.asarray(sc.encode(text), np.int32)
+    pad = -(-len(ids) // unit) * unit - len(ids)
+    ids = np.concatenate([ids, np.zeros(pad, np.int32)])
+    placed = jax.device_put(ids, NamedSharding(mesh, P(DATA_AXIS)))
+    want = m.scanner(n_streams=8).count(text)
+    assert sc.count(placed) == want
+    assert sc.stats["sparse_live_frac"] < 0.5
+    # head carry through the device sparse path
+    head = np.asarray(sc.encode("ab"), np.int32)
+    assert sc.count(placed, head=head) == \
+        m.scanner(n_streams=8).count(text, head=head)
+    # all-dead resident corpus short-circuits to zero
+    dead = jax.device_put(np.zeros(unit * 2, np.int32),
+                          NamedSharding(mesh, P(DATA_AXIS)))
+    assert sc.count(dead) == 0
