@@ -19,10 +19,14 @@ from typing import Any, Callable, Optional
 class ScanConfig:
     """Device-scan geometry knobs (models/scanner.py)."""
 
-    n_streams: int = 512            # parallel block streams per chip
+    n_streams: Any = "auto"         # parallel block streams per chip
     step_k: Any = "auto"            # symbols advanced per gather (int|'auto')
     step_budget_bytes: int = 128 * 1024 * 1024
     halo: Optional[int] = None      # override warm-up length (default D-1)
+    engine: str = "auto"            # gather | mxu | hybrid | auto
+    prefilter: str = "off"          # off | auto | on (sparse corpora)
+    device_encode: bool = True      # raw upload + in-kernel vocab encode
+    calibrate: bool = False         # measured engine choice (ops/autotune)
 
 
 @dataclass
@@ -32,6 +36,8 @@ class MeshConfig:
     n_devices: Optional[int] = None  # None = all local devices
     axis_name: str = "data"
     n_streams_per_device: int = 256
+    engine: str = "auto"
+    prefilter: str = "off"
 
 
 @dataclass
@@ -53,7 +59,11 @@ class MachineConfig:
         return machine.scanner(n_streams=self.scan.n_streams,
                                halo=self.scan.halo,
                                step_k=self.scan.step_k,
-                               step_budget_bytes=self.scan.step_budget_bytes)
+                               step_budget_bytes=self.scan.step_budget_bytes,
+                               engine=self.scan.engine,
+                               prefilter=self.scan.prefilter,
+                               device_encode=self.scan.device_encode,
+                               calibrate=self.scan.calibrate)
 
     def build_sharded_scanner(self, machine, mesh=None):
         from ..parallel.mesh import make_mesh
@@ -62,7 +72,10 @@ class MachineConfig:
             mesh = make_mesh(self.mesh.n_devices, axis_name=self.mesh.axis_name)
         return ShardedScanner(
             machine, mesh, n_streams_per_device=self.mesh.n_streams_per_device,
-            axis_name=self.mesh.axis_name)
+            axis_name=self.mesh.axis_name,
+            step_k=self.scan.step_k,
+            step_budget_bytes=self.scan.step_budget_bytes,
+            engine=self.mesh.engine, prefilter=self.mesh.prefilter)
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
