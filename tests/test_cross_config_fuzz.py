@@ -30,6 +30,8 @@ def test_all_configs_match_sequential_oracle(seed):
     for i, ch in enumerate(text):
         for j in range(m.match(cur, ch)):
             want_events.append((i, j, m.get_match(cur, j).text()))
+    import jax.numpy as jnp
+    import numpy as np
     for kwargs in CONFIGS:
         sc = m.scanner(n_streams=rng.choice([3, 8]), **kwargs)
         assert sc.count(text) == want_count, kwargs
@@ -39,3 +41,10 @@ def test_all_configs_match_sequential_oracle(seed):
         got_b = [(ev.end, ev.index, mt.text())
                  for ev, mt in sc.find_matches(text, max_hits=1 << 15)]
         assert got_b == want_events, kwargs
+        # device-resident corpus dimension (round 5): the same oracle
+        # through the jax.Array input paths (device filter when sparse)
+        ids_dev = jnp.asarray(np.asarray(sc.encode(text), np.int32))
+        assert sc.count(ids_dev) == want_count, kwargs
+        got_d = [(ev.end, ev.index, mt.text())
+                 for ev, mt in sc.find_matches(ids_dev)]
+        assert got_d == want_events, kwargs
