@@ -1234,7 +1234,8 @@ class DenseScanner:
                 c, Lp, raw)
             per = (fn(self._st_dev[0], ent[0], tm) if raw
                    else fn(self._st_dev[0], tm))
-        elif st is not None and st.packed is None and not raw:
+        elif st is not None and st.packed is None and not raw \
+                and L % st.k == 0:
             from ..ops import multistep as ms
             fn = ms.make_stepped_count_unpacked(st.V, st.k, st.Vk, 0)
             per = fn(*self._st_dev, tm)
@@ -1370,6 +1371,9 @@ class DenseScanner:
                 if raw is not None:
                     ext, head_ids, B, L, T = self._stream_ext_raw(
                         raw[0], head, self._halo_sym, 128 * st.k)
+                    # per-column int32 n_hits must not wrap (the auto
+                    # sizing sums them — review r5): same bound as count
+                    self._guard_acc(L)
                     scan_fn = make_stepped_hits_scan_raw(
                         st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
                         B, L)
@@ -1386,6 +1390,7 @@ class DenseScanner:
                         ext, B, L, T = self._stream_ext(ids, head,
                                                         self._halo_sym,
                                                         128 * st.k)
+                    self._guard_acc(L)
                     scan_fn = make_stepped_hits_scan(
                         st.V, st.k, st.Vk, st.count_bits, self._halo_steps,
                         B, L)

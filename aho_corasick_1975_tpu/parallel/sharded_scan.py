@@ -536,9 +536,7 @@ def make_sharded_stepped_hits(mesh: Mesh, V: int, k: int, Vk: int,
         Tl = ids_local.shape[0]
         left = _right_shift_halo(ids_local, halo_sym, axis_name, n_dev,
                                  head)
-        unit = 64 * k
-        B = min(n_streams_per_device, max(1, Tl // unit))
-        L = -(-(-(-Tl // B)) // unit) * unit
+        B, L = _stepped_geometry(Tl, k, n_streams_per_device)
         pad = B * L - Tl
         ext = jnp.concatenate(
             [left, ids_local, jnp.zeros((pad,), ids_local.dtype)])
@@ -1175,7 +1173,6 @@ class ShardedScanner:
                 "scanner.session() or raise n_streams_per_device")
 
     def count(self, signs, head=None) -> int:
-        from ..models.scanner import _is_device_array
         with self._dispatch:
             return self._count_locked(signs, head)
 
@@ -1713,6 +1710,17 @@ class ShardedScanner:
                             np.zeros(0, np.int64), np.zeros(0, np.int32),
                             np.zeros(0, np.int32))
         _guard_pos32(T)
+        # per-stream int32 n_hits must not wrap before the int64 host
+        # combine (review r5): bound L exactly as the scan phase lays it
+        # out per shard
+        _, L_sh = _stepped_geometry(int(placed.shape[0]) // self.n_dev,
+                                    st.k, self._n_streams_per_device)
+        if L_sh * max(self._snap.max_nb, 1) >= 2 ** 31:
+            raise ValueError(
+                f"a per-device stream of {L_sh} symbols with up to "
+                f"{self._snap.max_nb} matches/position could overflow "
+                "the int32 per-stream counters; chunk the input with "
+                "scanner.session() or raise n_streams_per_device")
         scan_fn = make_sharded_stepped_hits_scan(
             self.mesh, st.V, st.k, st.Vk, st.count_bits,
             self._halo_steps, self._n_streams_per_device, self.axis_name)

@@ -41,7 +41,11 @@ from typing import Any, BinaryIO, Union
 
 import numpy as np
 
-FORMAT_VERSION = 2  # v1 = hash-vocab only (still loadable)
+FORMAT_VERSION = 2   # v1 = hash-vocab only (still loadable)
+# v3 is written ONLY when a value needed the per-value marker encoding:
+# older readers (which accept 1-2) then fail loudly instead of silently
+# loading raw pickle blobs as the values map (review r5).
+PER_VALUE_FORMAT_VERSION = 3
 
 _NOT_SAVED = b""  # sentinel blob: callable was not picklable at save time
 
@@ -126,9 +130,11 @@ def save_machine(machine, path_or_file: Union[str, BinaryIO]) -> None:
         cmp_fn_blob = (_pickle_or_marker(vocab.cmp_fn)
                        if kind == "cmp" else _NOT_SAVED)
     values_blob, values_mode = _pickle_values(machine._values)
+    fmt = (PER_VALUE_FORMAT_VERSION if values_mode == "per-value"
+           else FORMAT_VERSION)
     np.savez_compressed(
         path_or_file,
-        format_version=np.int64(FORMAT_VERSION),
+        format_version=np.int64(fmt),
         incremental=np.bool_(machine.incremental),
         values_mode=np.bytes_(values_mode.encode()),
         vocab_kind=np.bytes_(kind.encode()),
@@ -174,7 +180,7 @@ def load_machine(path_or_file: Union[str, BinaryIO], key_fn: Any = "saved",
 
     z = np.load(path_or_file, allow_pickle=False)
     fmt = int(z["format_version"])
-    if fmt not in (1, FORMAT_VERSION):
+    if fmt not in (1, FORMAT_VERSION, PER_VALUE_FORMAT_VERSION):
         raise ValueError(f"unsupported checkpoint version {fmt}")
     kind = (z["vocab_kind"].tobytes().decode()
             if "vocab_kind" in z.files else "hash")

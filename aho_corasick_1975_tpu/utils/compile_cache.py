@@ -30,29 +30,38 @@ from __future__ import annotations
 import os
 
 _done = False
+_active: str | None = None   # the directory ACTUALLY configured, if any
 
 
 def enable_compile_cache(path: str | None = None,
                          enabled: bool = True) -> str | None:
     """Enable JAX's persistent compilation cache (idempotent). Returns
-    the cache directory in use, or None when disabled. Safe to call
-    before or after other jax config work, but must run before the
-    first compilation it should capture."""
-    global _done
+    the cache directory ACTUALLY in use, or None when disabled (repeat
+    calls report the first call's outcome — the latch is process-wide).
+    Safe to call before or after other jax config work, but must run
+    before the first compilation it should capture. Never raises: an
+    unwritable cache directory degrades to cache-off (scanner
+    construction must not fail because $HOME is read-only)."""
+    global _done, _active
     if _done:
-        return _cache_dir() if _enabled() else None
+        return _active
     _done = True
     if not enabled or not _enabled():
         return None
     import jax
 
     d = path or _cache_dir()
-    os.makedirs(d, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", d)
-    # Persist anything that took real compile time; leave the many tiny
-    # host-side jits (decode helpers, probes) out of the cache.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        # Persist anything that took real compile time; leave the many
+        # tiny host-side jits (decode helpers, probes) out of the cache.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except OSError:
+        return None
+    _active = d
     return d
 
 

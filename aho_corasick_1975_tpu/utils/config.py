@@ -75,7 +75,9 @@ class MachineConfig:
             axis_name=self.mesh.axis_name,
             step_k=self.scan.step_k,
             step_budget_bytes=self.scan.step_budget_bytes,
-            engine=self.mesh.engine, prefilter=self.mesh.prefilter)
+            engine=self.mesh.engine, prefilter=self.mesh.prefilter,
+            device_encode=self.scan.device_encode,
+            calibrate=self.scan.calibrate)
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)

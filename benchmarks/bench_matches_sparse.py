@@ -59,6 +59,40 @@ def main() -> None:
         _ = ms.starts
         th = min(th, time.perf_counter() - t0)
 
+    # No-argument AUTO default (round 5): buffers sized from the scan
+    # phase's own counters — must land within noise of the explicit
+    # bound above.
+    ms = sc.find_matches(ids)
+    assert len(ms) == n
+    ta = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ms = sc.find_matches(ids)
+        _ = ms.starts
+        ta = min(ta, time.perf_counter() - t0)
+
+    # Prefilter scanner, raw bytes, NO ARGUMENTS (the VERDICT r4 #1 done
+    # bar): the default must ride the sparse/elided bounded path.
+    raw = bytes(arr)
+    sp = m.scanner(n_streams=16384, prefilter="on")
+    ms = sp.find_matches(raw)
+    assert sp.stats["last_op"] == "find_matches_sparse", sp.stats
+    assert len(ms) == n
+    tsp = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ms = sp.find_matches(raw)
+        _ = ms.starts
+        tsp = min(tsp, time.perf_counter() - t0)
+    ms = sp.find_matches(raw, max_hits=max_hits)
+    assert len(ms) == n
+    tspb = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ms = sp.find_matches(raw, max_hits=max_hits)
+        _ = ms.starts
+        tspb = min(tspb, time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "retrieval_vs_count_realistic_density",
         "value": round(th / tc, 2),
@@ -69,6 +103,11 @@ def main() -> None:
             "density_pct": round(n / T * 100, 4),
             "count_wall_s": round(tc, 3),
             "find_matches_wall_s": round(th, 3),
+            "find_matches_auto_wall_s": round(ta, 3),
+            "auto_vs_explicit": round(ta / th, 2),
+            "prefilter_noarg_raw_wall_s": round(tsp, 3),
+            "prefilter_explicit_raw_wall_s": round(tspb, 3),
+            "prefilter_noarg_vs_explicit": round(tsp / tspb, 2),
             "hits_kernel": "stepped two-phase (compact extract)",
         },
     }))

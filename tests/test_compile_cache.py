@@ -54,3 +54,20 @@ def test_enable_with_explicit_path(monkeypatch, tmp_path):
     monkeypatch.setenv("ACX_COMPILE_CACHE", "off")
     jax.config.update("jax_compilation_cache_dir", None)
     cc.enable_compile_cache()
+
+
+def test_unwritable_cache_dir_degrades_to_disabled(monkeypatch):
+    """Review r5: scanner construction must not fail because the cache
+    directory cannot be created (read-only $HOME)."""
+    monkeypatch.setattr(cc, "_done", False)
+    monkeypatch.setattr(cc, "_active", None)
+    monkeypatch.setenv("ACX_COMPILE_CACHE", "/proc/acx-cannot-exist/x")
+    assert cc.enable_compile_cache() is None
+    m = ac.Machine()
+    m.insert_keyword("he")
+    assert m.scanner(n_streams=4).count("hehe") == 2
+    # repeat calls report the real outcome (None), not a phantom dir
+    assert cc.enable_compile_cache() is None
+    monkeypatch.setattr(cc, "_done", False)
+    monkeypatch.setenv("ACX_COMPILE_CACHE", "off")
+    cc.enable_compile_cache()

@@ -116,11 +116,18 @@ def test_count_many_raw_utf8_str_batch_on_byte_machine():
 
 
 def test_count_many_mixed_kind_batch_falls_back_to_host_encode():
+    """A batch mixing LUT kinds (str -> codepoint LUT, bytes -> byte
+    LUT) must take the host-encode path, with per-doc semantics equal to
+    scanning each document alone."""
     m, rng = build_machine(seed=6)
-    docs = ["abcd", b"abcd" if False else "abcd"]  # str-only is raw
+    docs = ["abcd", b"abcd"]
     sc = m.scanner(n_streams=4)
-    sc.count_many(docs)
-    assert sc.stats["last_op"] in ("count_many", "count_many_raw")
+    got = sc.count_many(docs)
+    assert sc.stats["last_op"] == "count_many"  # NOT count_many_raw
+    np.testing.assert_array_equal(got, [sc.count(d) for d in docs])
+    # while a str-only batch on the same scanner stages raw
+    sc.count_many(["abcd", "dcba"])
+    assert sc.stats["last_op"] == "count_many_raw"
     # a non-raw-able doc (tuple of ints) forces the host-encode path
     m2 = ac.Machine()
     m2.insert_keyword((1, 2))
@@ -237,3 +244,64 @@ def test_count_many_mesh_document_splitting_parity():
     assert c > 1
     np.testing.assert_array_equal(sc.count_many(docs),
                                   oracle_counts(m, docs))
+
+
+def test_count_many_device_misaligned_L_on_unpacked_engine(monkeypatch):
+    """Review r5: a device-resident [L, B] batch with L not a k-multiple
+    on the UNPACKED stepped engine must take the dense-table fallback,
+    not crash in combine_grams."""
+    import jax.numpy as jnp
+
+    from aho_corasick_1975_tpu.models import snapshot as snap_mod
+    from aho_corasick_1975_tpu.ops import multistep as ms
+
+    orig = ms.build_stepped
+
+    def unpacked(tables, k, cap_rows=None):
+        st = orig(tables, k)
+        if st.packed is not None:
+            cb = st.count_bits
+            st.delta_k = (st.packed >> cb).astype(np.int32)
+            st.cnt_k = (st.packed & ((1 << cb) - 1)).astype(np.int32)
+            st.packed = None
+            st.cap_packed = None
+            st.count_bits = 0
+        return st
+
+    monkeypatch.setattr(ms, "build_stepped", unpacked)
+    m, rng = build_machine(seed=9)
+    sc = m.scanner(n_streams=4, step_k=2)
+    assert sc._stepped is not None and sc._stepped.packed is None
+    docs = ["".join(rng.choice("abcdz") for _ in range(200))
+            for _ in range(5)]
+    want = oracle_counts(m, docs)
+    L = 513  # NOT a multiple of k=2
+    tm = np.zeros((L, len(docs)), np.int32)
+    for j, d in enumerate(docs):
+        ids = sc.encode(d)
+        tm[:len(ids), j] = ids
+    np.testing.assert_array_equal(sc.count_many(jnp.asarray(tm)), want)
+
+
+def test_checkpoint_per_value_mode_bumps_format_version():
+    """Review r5: per-value checkpoints write format v3 so round-4
+    readers fail loudly instead of silently loading pickle blobs."""
+    import io
+    import threading
+
+    from aho_corasick_1975_tpu.utils import checkpoint as ckpt
+
+    m = ac.Machine()
+    m.insert_keyword("he", value=threading.Lock())
+    buf = io.BytesIO()
+    ckpt.save_machine(m, buf)
+    buf.seek(0)
+    z = np.load(buf, allow_pickle=False)
+    assert int(z["format_version"]) == ckpt.PER_VALUE_FORMAT_VERSION
+    # fully-picklable machines keep v2 (old readers stay compatible)
+    m2 = ac.Machine()
+    m2.insert_keyword("he", value=1)
+    buf2 = io.BytesIO()
+    ckpt.save_machine(m2, buf2)
+    buf2.seek(0)
+    assert int(np.load(buf2)["format_version"]) == ckpt.FORMAT_VERSION
